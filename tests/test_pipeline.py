@@ -1,0 +1,112 @@
+"""End-to-end job tests: checkpointed run, kill-and-resume equivalence
+(FIXTURES.md §4), rollups, comparison harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_addons_spark.operators.compare import align_runs, equality_gate, sim_sets
+from tika_addons_spark.operators.extract import extract_turns
+from tika_addons_spark.operators.rollup import conversation_rollup, with_position
+from tika_addons_spark.plans.pipeline import run_extraction
+from tika_addons_spark.sources import catalog
+
+
+def test_run_and_checkpoint(spark, transcripts_path, tmp_path):
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    stats = run_extraction(
+        spark, transcripts_path, out, ckpt, run_id="r1", n_buckets=8, n_waves=2
+    )
+    assert stats["completed_buckets"] == 8
+
+    df = catalog.read_extracted(spark, out)
+    n_in = spark.read.parquet(transcripts_path).count()
+    assert df.count() == n_in
+
+    ck = catalog.read_checkpoint(spark, ckpt)
+    assert ck.count() == 8
+    agg = ck.agg(F.sum("n_turns"), F.sum("chars_in")).collect()[0]
+    assert agg[0] == n_in
+    # lineage sums must equal recomputed sums from the data
+    assert agg[1] == df.agg(F.sum("chars_in")).collect()[0][0]
+    # content_types histogram covers every turn
+    total_ct = ck.select(
+        F.explode("content_types").alias("k", "v")
+    ).agg(F.sum("v")).collect()[0][0]
+    assert total_ct == n_in
+
+
+def test_kill_and_resume_equals_clean_run(spark, transcripts_path, tmp_path):
+    out_a = str(tmp_path / "a")
+    ckpt_a = str(tmp_path / "cka")
+    # clean single run
+    run_extraction(spark, transcripts_path, out_a, ckpt_a, run_id="rA", n_buckets=8)
+
+    # killed run: 2 of 4 waves committed, then resume with same run_id
+    out_b = str(tmp_path / "b")
+    ckpt_b = str(tmp_path / "ckb")
+    st = run_extraction(
+        spark, transcripts_path, out_b, ckpt_b,
+        run_id="rB", n_buckets=8, n_waves=4, fail_after_waves=2,
+    )
+    assert st["killed"] and st["completed_buckets"] == 4
+    done_before = catalog.completed_keys(spark, ckpt_b, "rB").count()
+    assert done_before == 4
+
+    st2 = run_extraction(
+        spark, transcripts_path, out_b, ckpt_b, run_id="rB", n_buckets=8, n_waves=4
+    )
+    # resume processed ONLY the missing buckets
+    assert st2["completed_buckets"] == 4
+
+    a = catalog.read_extracted(spark, out_a)
+    b = catalog.read_extracted(spark, out_b)
+    cols = ["extracted_text", "parse_status", "detected_content_type", "chars_out"]
+    assert equality_gate(b, a, cols).count() == 0
+    assert a.count() == b.count()
+
+
+def test_rollup_and_position(spark, transcripts_df):
+    ext = extract_turns(transcripts_df)
+    roll = conversation_rollup(ext)
+    row = roll.filter(F.col("conv_id") == "conv-00000000").collect()[0]
+    assert row.n_turns == 800  # the whale
+    assert row.n_valid + row.n_rejected <= row.n_turns
+    assert row.chars_in > 0
+
+    pos = with_position(ext).filter(F.col("conv_id") == "conv-00000001")
+    rows = pos.orderBy("turn_idx").select("turn_idx", "position", "is_container").collect()
+    assert [r.position for r in rows] == list(range(len(rows)))
+    assert rows[0].is_container and not rows[1].is_container
+
+
+def test_align_runs_sentinel(spark):
+    a = spark.createDataFrame(
+        [("c", 0, 10), ("c", 1, 20)], "conv_id string, turn_idx int, chars_out int"
+    )
+    b = spark.createDataFrame(
+        [("c", 0, 10)], "conv_id string, turn_idx int, chars_out int"
+    )
+    al = align_runs({"t1": a, "t2": b}, ["chars_out"]).orderBy("turn_idx").collect()
+    assert al[1].chars_out_t1 == 20 and al[1].chars_out_t2 == -1
+
+
+def test_sim_sets_grouping(spark):
+    a = spark.createDataFrame(
+        [("c", 0, "the quick fox"), ("c", 1, "alpha beta")],
+        "conv_id string, turn_idx int, extracted_text string",
+    )
+    b = spark.createDataFrame(
+        [("c", 0, "quick the fox"), ("c", 1, "gamma delta")],
+        "conv_id string, turn_idx int, extracted_text string",
+    )
+    s = sim_sets({"t1": a, "t2": b}).orderBy("turn_idx", "sim_set").collect()
+    # turn 0: same token bag → one set with both runs
+    t0 = [r for r in s if r.turn_idx == 0]
+    assert len(t0) == 1 and sorted(t0[0].runs) == ["t1", "t2"]
+    # turn 1: different bags → two sets
+    t1 = [r for r in s if r.turn_idx == 1]
+    assert len(t1) == 2
+    assert {r.sim_set for r in t1} == {"set_0", "set_1"}

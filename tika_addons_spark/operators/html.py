@@ -1,0 +1,274 @@
+"""From-scratch HTML main-content extraction (SURVEY.md §2.9 X1/X2).
+
+What the reference computes (behavior, not code):
+
+- X1 (``pdftotext/.../PDFToTextParser.java:258-376``): streaming SAX scrape
+  that drops structural wrappers, lifts ``<title>`` into metadata (NOT body
+  text), lifts ``<meta name=author|creator|producer|creationdate>`` into
+  typed fields, and emits the remaining text.
+- X2 (``bugtracker-crawler/.../BugzillaHtmlIssueScraper.java:44-108``,
+  ``TracIssueScraper.java:46-87``): DOM-heuristic selection keyed on
+  element + class/attribute (e.g. ``tr[class~=bz_contenttype_(...)]``,
+  ``a[title^="View the content"]``).
+
+Generalization (per the north rule): Boilerpipe/Readability-style
+**text-density + link-density block scoring**. The document is segmented into
+text blocks at block-level tag boundaries; each block scores
+``words`` and ``link_density = linked_words/words``; content blocks are kept,
+boilerplate (nav/header/footer/aside + link-dense shorties) dropped, with a
+neighbor-smoothing pass so short blocks sandwiched between content survive.
+
+Implementation is event-driven (``html.parser.HTMLParser``,
+``convert_charrefs=False`` so raw offsets stay exact) — never builds a DOM,
+mirroring the reference's SAX choice. Character **spans are offsets into the
+original string** (kind ``main`` per kept block, ``title`` for the title).
+
+This module is pure Python: it is the per-string kernel that the Arrow/pandas
+UDF batches over (operators/extract.py), and doubles as the standalone oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html import unescape
+from html.parser import HTMLParser
+
+# Tags whose entire subtree is boilerplate or non-text.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "svg", "template"})
+# Structural boilerplate subtrees (Readability-style semantic prune).
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+# Tags that terminate/flush a text block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "td", "th", "tr", "table",
+        "li", "ul", "ol", "dl", "dt", "dd", "h1", "h2", "h3", "h4", "h5",
+        "h6", "pre", "blockquote", "br", "hr", "body", "html", "title",
+        "figcaption", "caption",
+    }
+)
+# void elements never get end tags
+VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input", "area", "base"})
+
+META_FIELDS = frozenset({"author", "creator", "producer", "creationdate"})
+
+MIN_WORDS = 8
+MAX_LINK_DENSITY = 0.34
+SMOOTH_MIN_WORDS = 3
+
+_RE_WS = re.compile(r"\s+")
+_RE_BZ_CONTENTTYPE = re.compile(r"bz_contenttype_(\S+)")
+
+
+@dataclass
+class Block:
+    parts: list[str] = field(default_factory=list)
+    start: int = -1
+    end: int = -1
+    n_words: int = 0
+    n_link_words: int = 0
+    is_heading: bool = False
+    in_attach_row: bool = False
+
+    @property
+    def text(self) -> str:
+        return _RE_WS.sub(" ", "".join(self.parts)).strip()
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_words / self.n_words if self.n_words else 0.0
+
+
+@dataclass
+class HtmlResult:
+    text: str
+    title: str | None
+    meta: dict[str, str]
+    spans: list[tuple[str, int, int]]
+    warnings: list[str]
+
+
+class _Scraper(HTMLParser):
+    """Single-pass block segmenter with exact raw offsets."""
+
+    def __init__(self, raw: str):
+        super().__init__(convert_charrefs=False)
+        self.raw = raw
+        # line-start offsets for getpos() → absolute-offset conversion
+        self.line_starts = [0]
+        for m in re.finditer("\n", raw):
+            self.line_starts.append(m.end())
+        self.blocks: list[Block] = []
+        self.cur = Block()
+        self.title_parts: list[str] = []
+        self.title_span: tuple[int, int] | None = None
+        self.meta: dict[str, str] = {}
+        self.skip_depth = 0
+        self.boiler_depth = 0
+        self.anchor_depth = 0
+        self.in_title = False
+        self.attach_rows: list[str] = []
+        self._row_contenttype: str | None = None
+        self._in_attach_row = False
+        self._row_parts: list[str] = []
+
+    # -- offset helpers ------------------------------------------------------
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self.line_starts[line - 1] + col
+
+    # -- tag events ----------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if tag in BOILERPLATE_TAGS:
+            self.boiler_depth += 1
+        if tag == "a":
+            self.anchor_depth += 1
+        if tag == "title":
+            self.in_title = True
+        if tag == "meta":
+            a = dict(attrs)
+            name = (a.get("name") or "").lower()
+            if name in META_FIELDS and a.get("content"):
+                self.meta[name] = a["content"]
+        if tag == "tr":
+            # X2: bugzilla attachment-row heuristic
+            cls = dict(attrs).get("class") or ""
+            m = _RE_BZ_CONTENTTYPE.search(cls)
+            self._row_contenttype = m.group(1).replace("_", "/", 1) if m else None
+            self._in_attach_row = self._row_contenttype is not None
+            self._row_parts = []
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                self.cur.is_heading = True
+            if self._in_attach_row:
+                self.cur.in_attach_row = True
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_TAGS:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if tag in BOILERPLATE_TAGS:
+            self.boiler_depth = max(0, self.boiler_depth - 1)
+        if tag == "a":
+            self.anchor_depth = max(0, self.anchor_depth - 1)
+        if tag == "title":
+            self.in_title = False
+        if tag in ("td", "th") and self._in_attach_row:
+            self._row_parts.append(" ")
+        if tag == "tr" and self._in_attach_row:
+            row_text = _RE_WS.sub(" ", "".join(self._row_parts)).strip()
+            if self._row_contenttype and row_text:
+                self.attach_rows.append(f"{row_text} [{self._row_contenttype}]")
+            self._in_attach_row = False
+            self._row_contenttype = None
+            self._row_parts = []
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    # -- text events ---------------------------------------------------------
+    def _append_text(self, decoded: str, raw_len: int):
+        if self.skip_depth or self.boiler_depth:
+            return
+        if self.in_title:
+            self.title_parts.append(decoded)
+            here = self._abs()
+            if self.title_span is None:
+                self.title_span = [here, here + raw_len]
+            else:
+                self.title_span[1] = here + raw_len
+            return
+        start = self._abs()
+        if self._in_attach_row:
+            self._row_parts.append(decoded)
+        if self.cur.start < 0:
+            self.cur.start = start
+        self.cur.end = start + raw_len
+        self.cur.parts.append(decoded)
+        words = len(decoded.split())
+        self.cur.n_words += words
+        if self.anchor_depth:
+            self.cur.n_link_words += words
+
+    def handle_data(self, data):
+        self._append_text(data, len(data))
+
+    def handle_entityref(self, name):
+        self._append_text(unescape(f"&{name};"), len(name) + 2)
+
+    def handle_charref(self, name):
+        self._append_text(unescape(f"&#{name};"), len(name) + 3)
+
+    # -- block management ----------------------------------------------------
+    def _flush(self):
+        if self.cur.parts and self.cur.text:
+            self.blocks.append(self.cur)
+        self.cur = Block()
+
+    def finish(self):
+        self._flush()
+
+
+def _select_blocks(blocks: list[Block]) -> list[bool]:
+    """Density scoring with neighbor smoothing (Boilerpipe-style)."""
+    keep = [
+        b.n_words >= MIN_WORDS and b.link_density <= MAX_LINK_DENSITY
+        for b in blocks
+    ]
+    # smoothing: short low-link blocks (incl. headings) adjacent to kept
+    # content on both sides — or headings directly above kept content —
+    # survive.
+    out = list(keep)
+    for i, b in enumerate(blocks):
+        if out[i] or b.in_attach_row:
+            continue
+        if b.n_words < SMOOTH_MIN_WORDS or b.link_density > MAX_LINK_DENSITY:
+            continue
+        prev_kept = i > 0 and keep[i - 1]
+        next_kept = i + 1 < len(blocks) and keep[i + 1]
+        if (prev_kept and next_kept) or (b.is_heading and next_kept):
+            out[i] = True
+    return out
+
+
+def extract_html(text: str) -> HtmlResult:
+    """Main-content extraction; never raises."""
+    warnings: list[str] = []
+    try:
+        p = _Scraper(text)
+        p.feed(text)
+        p.close()
+        p.finish()
+    except Exception as e:  # malformed HTML must not fail the job (X5)
+        return HtmlResult(
+            text="",
+            title=None,
+            meta={},
+            spans=[],
+            warnings=[f"html-parse-error: {type(e).__name__}"],
+        )
+
+    keep = _select_blocks(p.blocks)
+    kept = [b for b, k in zip(p.blocks, keep) if k]
+    spans: list[tuple[str, int, int]] = []
+    if p.title_span and p.title_parts:
+        spans.append(("title", p.title_span[0], p.title_span[1]))
+    spans.extend(("main", b.start, b.end) for b in kept)
+
+    title = _RE_WS.sub(" ", "".join(p.title_parts)).strip() or None
+    meta = dict(p.meta)
+    for i, row in enumerate(p.attach_rows):
+        meta[f"attachment_{i}"] = row
+
+    body = "\n".join(b.text for b in kept)
+    if not body:
+        warnings.append("no-main-content")
+    return HtmlResult(text=body, title=title, meta=meta, spans=spans, warnings=warnings)

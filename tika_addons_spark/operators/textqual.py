@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines (task brief §text):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen, SQL-oracle
+comparable) — the 100 TB-scale hot path never enters Python here.
+
+Reference analogues: LuceneTokenCounter.java:10-29 (token counts),
+LangDetectRunner grouped evals (A6-A10), tika-eval common-tokens/OOV stats
+surfaced in TikaEvalDocMapper.java:276-287.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.stats import JAVA_TOKEN, tokens_col
+
+# Tiny built-in stopword lists (public, trivial); used for quality scoring
+# and the n-gram language heuristic. At scale these become a broadcast dim.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+}
+
+PUNCT_RE = r"[\\.,;:!?'\"()\\[\\]{}-]"
+
+
+def quality_features(text_col: str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (quality scoring)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    n_punct = F.size(F.split(F.col(text_col), PUNCT_RE)) - 1
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "mean_token_len": F.round(
+            F.when(
+                n_tokens > 0,
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                )
+                / n_tokens.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, stop_hits / n_tokens.cast("double")).otherwise(0.0), 4
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(0.0), 4
+        ),
+    }
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite [0,1] quality score: rewards distinct-token diversity and a
+    sane stopword presence, penalizes extreme punctuation density."""
+    f = quality_features(text_col)
+    diversity = F.when(
+        f["n_tokens"] > 0, f["n_distinct_tokens"] / f["n_tokens"].cast("double")
+    ).otherwise(0.0)
+    stop = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5)
+    return F.round((diversity + stop + punct_pen) / 3.0, 4)
+
+
+def token_fingerprint(text_col: str) -> Column:
+    """Document fingerprint: sha256 over the sorted distinct token set —
+    the set analogue of the reference's bag-of-words equality
+    (MultiComparer.java:135-148); collapses word-order permutations."""
+    return F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(text_col)))), 256
+    )
+
+
+def lang_guess(text_col: str) -> Column:
+    """Cheap stopword-vote language ID (the probing-detector's n-gram scoring
+    reduced to marker-word hits; X12 analogue). Deterministic tie-break by
+    language code order."""
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = [
+        (
+            lang,
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))

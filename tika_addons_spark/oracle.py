@@ -1,0 +1,112 @@
+"""Standalone pure-Python extraction oracle.
+
+This is the canonical per-turn specification of the extraction pipeline: the
+Spark engine (operators/extract.py) must produce byte-identical results. The
+split isolates Spark-induced divergence (ordering, batching, encoding) from
+extractor bugs — the strategy SURVEY.md §8 prescribes, mirroring the
+reference's fixture-driven eval harness (eval-addons/.../MultiComparer.java).
+
+Dispatch per turn, by sniffed content type:
+
+- text/html → density-based boilerplate strip (operators/html.py, X1/X2)
+- application/pdf → payload parse + xpacket spans (operators/payload.py, X4/X8)
+- application/x-dwg-mtext → 5-pass markup-code cascade (functions/cleaners.py, F7)
+- text/plain, application/xml → F1 newline collapse + trim
+- empty/null → rejected, empty output
+
+Post-steps for every turn: sink hygiene (F8: NUL/tab/CR stripped), final F1
+newline collapse, truncation guard (O5), status roll-up (X5 taxonomy).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .functions import cleaners, normalize, sniff
+from .operators import html as html_op
+from .operators import payload as payload_op
+from .schema import STATUS_REJECTED, STATUS_VALID, STATUS_VALID_WARNINGS
+
+# O5: bound output size (reference bounds sink cells/stream gobblers:
+# JDBCMetadataWriter.java:111-122, StreamEater.java:49-59).
+MAX_EXTRACTED_CHARS = 100_000
+
+
+def _finalize(text: str) -> str:
+    """F8 sink hygiene then F1 newline collapse + trim.
+
+    Newlines are structure (paragraph/block separators) and survive; NUL,
+    tab and CR do not."""
+    text = text.replace("\x00", "").replace("\t", " ").replace("\r", " ")
+    return normalize.collapse_newlines(text)
+
+
+def extract_one(text: str | None) -> dict[str, Any]:
+    """Extract one turn. Total function — never raises (X5)."""
+    chars_in = len(text) if text is not None else 0
+    ctype = sniff.sniff_one(text)
+    title: str | None = None
+    meta: dict[str, str] = {}
+    spans: list[tuple[str, int, int]] = []
+    warnings: list[str] = []
+    n_pages: int | None = None
+    rejected = False
+
+    try:
+        if text is None or len(text.strip()) == 0:
+            body = ""
+            rejected = True
+            warnings.append("empty-content")
+        elif ctype == sniff.MIME_HTML:
+            r = html_op.extract_html(text)
+            body, title, meta, spans, warnings = (
+                r.text, r.title, r.meta, r.spans, list(r.warnings),
+            )
+            rejected = any(w.startswith("html-parse-error") for w in warnings)
+        elif ctype == sniff.MIME_PDF:
+            r = payload_op.parse_payload(text)
+            body, spans, warnings, rejected, n_pages = (
+                r.text, r.spans, list(r.warnings), r.rejected, r.n_pages,
+            )
+        elif ctype == sniff.MIME_MTEXT:
+            body = cleaners.clean_mtext(text)
+            spans = [("main", 0, len(text))]
+        else:  # text/plain, application/xml
+            # xpacket packets can be embedded in any turn (X8)
+            xp = payload_op.scan_xpackets(text)
+            spans = [("xpacket", s, e) for s, e in xp]
+            body = payload_op._mask_spans(text, xp)
+            spans.append(("main", 0, len(text)))
+    except Exception as e:  # absolute backstop — record, never throw
+        body = ""
+        rejected = True
+        warnings = [f"exception: {type(e).__name__}"]
+
+    out = _finalize(body)
+    if len(out) > MAX_EXTRACTED_CHARS:
+        out = out[:MAX_EXTRACTED_CHARS]
+        warnings.append("truncated")
+
+    if rejected:
+        status = STATUS_REJECTED
+    elif warnings:
+        status = STATUS_VALID_WARNINGS
+    else:
+        status = STATUS_VALID
+
+    return {
+        "extracted_text": out,
+        "title": title,
+        "meta": meta,
+        "spans": [
+            {"kind": k, "start": s, "end": e} for (k, s, e) in sorted(
+                spans, key=lambda x: (x[1], x[2], x[0])
+            )
+        ],
+        "detected_content_type": ctype,
+        "parse_status": status,
+        "warnings": warnings,
+        "chars_in": chars_in,
+        "chars_out": len(out),
+        "n_pages": n_pages,
+    }

@@ -1,0 +1,100 @@
+"""Table-format seam: Iceberg in production, parquet in the sandbox.
+
+The north rule names Iceberg (MERGE-based checkpoint skip, snapshot commits).
+The sandbox has no Iceberg runtime jar, so this module exposes one API with
+two backends chosen at runtime:
+
+- ``iceberg``: ``spark.read.table`` / ``writeTo(...).append()`` /
+  ``MERGE INTO`` — used when the Iceberg extension is on the classpath.
+- ``parquet`` (sandbox default): identical *semantics* — partition-dynamic
+  overwrite for idempotent bucket re-writes, checkpoint table + broadcast
+  anti-join instead of MERGE (the reference's resume-by-existence:
+  ``bugtracker-crawler/.../GithubScraper.java:253-263``).
+
+All engine code goes through these functions; pytest runs the parquet
+backend.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CHECKPOINT_SCHEMA, TRANSCRIPTS_SCHEMA
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
+    """Read the transcripts table. ``source`` is an Iceberg table name
+    (``cat.db.transcripts``) or a parquet path. Schema is declared, never
+    inferred — extra columns are pruned at the scan."""
+    if source.endswith(".parquet") or os.path.isdir(source) or os.path.isfile(source):
+        df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(source)
+    else:
+        df = spark.read.table(source)
+    return df.select([f.name for f in TRANSCRIPTS_SCHEMA.fields])
+
+
+def write_extracted(df: DataFrame, target: str, partition_col: str = "bucket") -> None:
+    """Write extraction output partitioned by bucket, idempotently:
+    dynamic partition overwrite replaces exactly the buckets present in
+    ``df`` (re-running a wave after a crash cannot double-write). With
+    Iceberg this is ``writeTo(target).overwritePartitions()``."""
+    spark = df.sparkSession
+    if _is_path(target):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    else:
+        df.writeTo(target).overwritePartitions()
+
+
+def read_extracted(spark: SparkSession, target: str) -> DataFrame:
+    if _is_path(target):
+        return spark.read.parquet(target)
+    return spark.read.table(target)
+
+
+def append_checkpoint(df: DataFrame, ckpt: str) -> None:
+    """Append checkpoint rows (one per completed partition_key). Parquet
+    append of new files is atomic-enough per wave; Iceberg path is a real
+    snapshot append."""
+    if _is_path(ckpt):
+        df.write.mode("append").parquet(ckpt)
+    else:
+        df.writeTo(ckpt).append()
+
+
+def read_checkpoint(spark: SparkSession, ckpt: str) -> DataFrame:
+    if _is_path(ckpt):
+        if not os.path.exists(ckpt):
+            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt)
+    return spark.read.table(ckpt)
+
+
+def completed_keys(spark: SparkSession, ckpt: str, run_id: str) -> DataFrame:
+    """Distinct partition_keys already completed for this run_id.
+
+    This is the MERGE-skip predicate: on resume the work table is
+    ``left_anti``-joined against it (J2 — the resume operator)."""
+    return (
+        read_checkpoint(spark, ckpt)
+        .filter((F.col("run_id") == run_id) & (F.col("status") == "completed"))
+        .select("partition_key")
+        .distinct()
+    )
+
+
+def _is_path(target: str) -> bool:
+    return "/" in target or target.endswith(".parquet")
