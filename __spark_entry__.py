@@ -1,38 +1,642 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001 documents.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data operators). Each callable: (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for ops that
+are genuinely not SQL-expressible: the extraction kernels, minhash/simhash
+signatures, LSH ANN, media features — those get rows-only checks and are
+pinned instead by tests/ against the pure-Python oracle).
+
+Conventions for oracle parity (see tests/test_entry_contract.py which runs
+the same comparison locally):
+- every computed column aliased identically on both sides
+- integer-ish results cast to long; money as cents (bigint); floats rounded
+- deterministic output (ties broken by explicit keys)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tika_addons_spark.functions.sniff import sniff_col
+from tika_addons_spark.functions.stats import tokens_col
+from tika_addons_spark.operators import dedup, multimodal, similarity, textqual
+from tika_addons_spark.operators.extract import extract_turns
+
+SF001 = "/root/testdata/sf0.001"
+
+TOKEN_RE = r"[\p{L}]+"  # same dialect meaning in Java regex & RE2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table to the transcript shape (doc ≡ 1-turn conv)."""
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the extraction operator over sf0.001 documents."""
+    docs = _t(spark, SF001, "documents")
+    return extract_turns(_docs_as_transcripts(docs))
+
+
+# =========================================================================
+# queries
+# =========================================================================
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_source_lang_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.desc("n_docs"), "source", "lang")
+    )
+
+
+def q03_sha256_digest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha256"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+def q04_char_classes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"[^\p{L}]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias("n_non_ws"),
+    )
+
+
+def q05_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q06_grouped_value_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q07_confusion_matrix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("pct_of_lang"),
+    ).orderBy("lang", F.desc("n"), "source")
+
+
+def q08_event_transitions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "curr_type")
+    )
+
+
+def q09_topk_events_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk", F.round("value", 4).alias("value_r"))
+        .orderBy("user_id", "rnk")
+    )
+
+
+def q10_full_outer_align(spark, sf_dir):
+    # J1: align order headers with lineitem rollups; missing side → -1
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer")
+    return j.select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+        F.coalesce(F.col("n_lines"), F.lit(-1)).cast("long").alias("n_lines"),
+        F.coalesce(F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(-1)).alias(
+            "totalprice_cents"
+        ),
+    )
+
+
+def q11_resume_antijoin(spark, sf_dir):
+    # J2: the resume operator — rows whose "checkpoint" entry exists are skipped
+    li = _t(spark, sf_dir, "lineitem")
+    done = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    remaining = li.join(done, li.l_orderkey == done.o_orderkey, "left_anti")
+    return (
+        remaining.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_remaining"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q12_region_customer_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+def q13_first_seen_sets(spark, sf_dir):
+    # J3/W4: exact-duplicate grouping labeled in first-seen order
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.min("doc_id").alias("first_doc"), F.count("*").alias("n_members")
+    )
+    w = Window.orderBy("first_doc")
+    return g.select(
+        F.concat(F.lit("set_"), (F.dense_rank().over(w) - 1).cast("string")).alias(
+            "sim_set"
+        ),
+        "first_doc",
+        "n_members",
+    ).orderBy("first_doc")
+
+
+def q14_pairwise_fold(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.least("lang", "source").alias("key_a"),
+            F.greatest("lang", "source").alias("key_b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "key_a", "key_b")
+    )
+
+
+def q15_union_distinct_keys(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return e.union(c).distinct().orderBy("key")
+
+
+def q16_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text").select(
+        "digest", "keep_id", "n_copies"
+    ).orderBy("keep_id")
+
+
+def q17_sniff_content_type(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(sniff_col(F.col("text")).alias("content_type"))
+        .groupBy("content_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("content_type")
+    )
+
+
+def q18_normalize_clean(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.regexp_replace("text", "[\\t\\r\\n]", " "), r" +", " "))
+    return d.select("doc_id", F.sha2(norm, 256).alias("norm_sha"))
+
+
+def q19_quality_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = textqual.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_distinct_tokens"].alias("n_distinct_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q20_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", "lang", threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def q21_token_entropy(spark, sf_dir):
+    # explode → per-(doc,token) counts → window total (reuses the doc_id
+    # partitioning; one fewer shuffle than a join against a totals subquery)
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id")
+    return (
+        counts.withColumn("n", F.sum("c").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy")
+        )
+    )
+
+
+def q22_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textqual.token_fingerprint("text").alias("fingerprint"))
+
+
+def q23_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bruteforce(emb, queries_df, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q24_lang_guess(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(textqual.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+# ---- rows-only (not SQL-expressible; pinned by pytest vs the pure oracle) --
+def q30_extract_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return extract_turns(_docs_as_transcripts(docs)).select(
+        "conv_id",
+        "extracted_text",
+        "detected_content_type",
+        "parse_status",
+        "chars_in",
+        "chars_out",
+    )
+
+
+def q31_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(sigs)
+    return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
+
+
+def q32_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(d, "doc_id", "text")
+    return dedup.simhash_near_pairs(sigs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q33_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_lsh(emb, queries_df, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q34_media_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    with_meta = multimodal.with_media_meta(media)
+    feats = multimodal.extract_media_features(with_meta)
+    return feats.select("id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_source_lang_profile": q02_source_lang_profile,
+        "q03_sha256_digest": q03_sha256_digest,
+        "q04_char_classes": q04_char_classes,
+        "q05_token_stats": q05_token_stats,
+        "q06_grouped_value_stats": q06_grouped_value_stats,
+        "q07_confusion_matrix": q07_confusion_matrix,
+        "q08_event_transitions": q08_event_transitions,
+        "q09_topk_events_per_user": q09_topk_events_per_user,
+        "q10_full_outer_align": q10_full_outer_align,
+        "q11_resume_antijoin": q11_resume_antijoin,
+        "q12_region_customer_rollup": q12_region_customer_rollup,
+        "q13_first_seen_sets": q13_first_seen_sets,
+        "q14_pairwise_fold": q14_pairwise_fold,
+        "q15_union_distinct_keys": q15_union_distinct_keys,
+        "q16_dedup_exact": q16_dedup_exact,
+        "q17_sniff_content_type": q17_sniff_content_type,
+        "q18_normalize_clean": q18_normalize_clean,
+        "q19_quality_features": q19_quality_features,
+        "q20_jaccard_pairs": q20_jaccard_pairs,
+        "q21_token_entropy": q21_token_entropy,
+        "q22_fingerprint": q22_fingerprint,
+        "q23_ann_bruteforce": q23_ann_bruteforce,
+        "q24_lang_guess": q24_lang_guess,
+        "q30_extract_documents": q30_extract_documents,
+        "q31_minhash_lsh": q31_minhash_lsh,
+        "q32_simhash_pairs": q32_simhash_pairs,
+        "q33_ann_lsh": q33_ann_lsh,
+        "q34_media_features": q34_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =========================================================================
+# DuckDB oracles
+# =========================================================================
+_TOK = "regexp_extract_all(lower(text), '[\\p{L}]+')"
+
+_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(round(l_quantity*100)::BIGINT)      AS sum_qty_cents,
+               sum(round(l_extendedprice*100)::BIGINT) AS sum_base_cents,
+               round(avg(l_quantity), 4)  AS avg_qty,
+               round(avg(l_discount), 4)  AS avg_disc,
+               count(*)                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_source_lang_profile": """
+        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY source, lang
+        ORDER BY n_docs DESC, source, lang
+    """,
+    "q03_sha256_digest": """
+        SELECT doc_id, sha256(text) AS sha256, length(text)::BIGINT AS len_chars
+        FROM documents
+    """,
+    "q04_char_classes": r"""
+        SELECT doc_id,
+               length(regexp_replace(text, '[^\p{L}]', '', 'g'))::BIGINT AS n_alpha,
+               length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_non_ws
+        FROM documents
+    """,
+    "q05_token_stats": f"""
+        SELECT doc_id,
+               len({_TOK})::BIGINT AS n_tokens,
+               len(list_distinct({_TOK}))::BIGINT AS n_distinct_tokens
+        FROM documents
+    """,
+    "q06_grouped_value_stats": """
+        SELECT event_type, count(*) AS n,
+               round(avg(value), 4) AS avg_value,
+               round(stddev_samp(value), 4) AS sd_value,
+               round(median(value), 4) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q07_confusion_matrix": """
+        SELECT lang, source, count(*) AS n,
+               round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY lang), 4)
+                 AS pct_of_lang
+        FROM documents GROUP BY lang, source
+        ORDER BY lang, n DESC, source
+    """,
+    "q08_event_transitions": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS curr_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, curr_type
+        ORDER BY n DESC, prev_type, curr_type
+    """,
+    "q09_topk_events_per_user": """
+        WITH ranked AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+                   ::BIGINT AS rnk
+          FROM events)
+        SELECT user_id, event_id, rnk, round(value, 4) AS value_r
+        FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk
+    """,
+    "q10_full_outer_align": """
+        WITH li AS (
+          SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey)
+        SELECT coalesce(o.o_orderkey, li.l_orderkey) AS orderkey,
+               coalesce(li.n_lines, -1)::BIGINT AS n_lines,
+               coalesce(round(o.o_totalprice*100)::BIGINT, -1) AS totalprice_cents
+        FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    """,
+    "q11_resume_antijoin": """
+        SELECT l_returnflag, count(*) AS n_remaining
+        FROM lineitem
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q12_region_customer_rollup": """
+        SELECT r.r_name AS region, count(*) AS n_customers,
+               round(avg(c.c_acctbal), 2) AS avg_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY region ORDER BY region
+    """,
+    "q13_first_seen_sets": """
+        WITH g AS (
+          SELECT sha256(text) AS digest, min(doc_id) AS first_doc,
+                 count(*) AS n_members
+          FROM documents GROUP BY digest)
+        SELECT 'set_' || (dense_rank() OVER (ORDER BY first_doc) - 1)::VARCHAR
+                 AS sim_set,
+               first_doc, n_members
+        FROM g ORDER BY first_doc
+    """,
+    "q14_pairwise_fold": """
+        SELECT least(lang, source) AS key_a, greatest(lang, source) AS key_b,
+               count(*) AS n
+        FROM documents GROUP BY key_a, key_b ORDER BY n DESC, key_a, key_b
+    """,
+    "q15_union_distinct_keys": """
+        SELECT DISTINCT key FROM (
+          SELECT user_id AS key FROM events
+          UNION ALL SELECT c_custkey AS key FROM customer)
+        ORDER BY key
+    """,
+    "q16_dedup_exact": """
+        SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY digest ORDER BY keep_id
+    """,
+    "q17_sniff_content_type": """
+        SELECT CASE
+                 WHEN text IS NULL OR length(text) = 0 THEN 'application/octet-stream'
+                 WHEN ltrim(text) LIKE '%%PDF-%' AND position('%PDF-' IN ltrim(text)) = 1
+                   THEN 'application/pdf'
+                 WHEN ltrim(text) LIKE '<?xml%' THEN 'application/xml'
+                 WHEN lower(ltrim(text)) LIKE '<!doctype html%'
+                   OR lower(ltrim(text)) LIKE '<html%' THEN 'text/html'
+                 ELSE 'text/plain'
+               END AS content_type,
+               count(*) AS n
+        FROM documents GROUP BY content_type ORDER BY content_type
+    """,
+    "q18_normalize_clean": r"""
+        SELECT doc_id,
+               sha256(trim(regexp_replace(
+                 regexp_replace(text, '[\t\r\n]', ' ', 'g'), ' +', ' ', 'g')))
+                 AS norm_sha
+        FROM documents
+    """,
+    "q19_quality_features": f"""
+        SELECT doc_id,
+               len({_TOK})::BIGINT AS n_tokens,
+               len(list_distinct({_TOK}))::BIGINT AS n_distinct_tokens,
+               round(CASE WHEN len({_TOK}) > 0 THEN
+                 list_aggregate(list_transform({_TOK}, t -> length(t)), 'sum')
+                   ::DOUBLE / len({_TOK}) ELSE 0.0 END, 4) AS mean_token_len,
+               round(CASE WHEN len({_TOK}) > 0 THEN
+                 len(list_intersect(list_distinct({_TOK}),
+                     ['the','a','of','and','to','in','is','that','it','for']))
+                   ::DOUBLE / len({_TOK}) ELSE 0.0 END, 4) AS stopword_ratio
+        FROM documents
+    """,
+    "q20_jaccard_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, lang AS block,
+                 list_distinct(list_sort({_TOK})) AS t
+          FROM documents)
+        SELECT l.id AS id_a, r.id AS id_b,
+               round(len(list_intersect(l.t, r.t))::DOUBLE
+                     / len(list_distinct(list_concat(l.t, r.t))), 4) AS jaccard
+        FROM toks l JOIN toks r ON l.block = r.block AND l.id < r.id
+        WHERE len(list_distinct(list_concat(l.t, r.t))) > 0
+          AND round(len(list_intersect(l.t, r.t))::DOUBLE
+                    / len(list_distinct(list_concat(l.t, r.t))), 4) >= 0.8
+        ORDER BY id_a, id_b
+    """,
+    "q21_token_entropy": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+        counts AS (
+          SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        tot AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id)
+        SELECT counts.doc_id,
+               round(-sum((c::DOUBLE/n) * log2(c::DOUBLE/n)), 6) AS entropy
+        FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+        GROUP BY counts.doc_id
+    """,
+    "q22_fingerprint": f"""
+        SELECT doc_id,
+               sha256(array_to_string(list_sort(list_distinct({_TOK})), ' '))
+                 AS fingerprint
+        FROM documents
+    """,
+    "q23_ann_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE q.query_id != e.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank::INT AS rank, cos_sim
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "q24_lang_guess": f"""
+        WITH scored AS (
+          SELECT len(list_intersect(list_distinct({_TOK}),
+                 ['der','die','und','das','von','zu','mit','den','ist','ein'])) AS s_de,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr
+          FROM documents),
+        best AS (
+          SELECT CASE
+            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+            WHEN s_es > s_en AND s_es > s_de THEN 'es'
+            WHEN s_en > s_de THEN 'en'
+            ELSE 'de' END AS lang_guess
+          FROM scored)
+        SELECT lang_guess, count(*) AS n FROM best
+        GROUP BY lang_guess ORDER BY lang_guess
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

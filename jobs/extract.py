@@ -1,0 +1,49 @@
+"""CLI entry point: spark-submit --py-files engine.zip jobs/extract.py ...
+
+Mirrors the reference's config lifecycle (``batchlite/.../ConfigSrc.java``:
+srcRoot/targRoot/writer/numThreads as args) in Spark terms: source table,
+target table, checkpoint table, run id, bucket/wave/parallelism knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from tika_addons_spark.plans.pipeline import run_extraction
+from tika_addons_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="transcript extraction job")
+    p.add_argument("--source", required=True, help="transcripts table/path")
+    p.add_argument("--target", required=True, help="extracted table/path")
+    p.add_argument("--checkpoint", required=True, help="checkpoint table/path")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--n-waves", type=int, default=1)
+    p.add_argument("--n-partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name=f"extract-{args.run_id}", master=args.master)
+    t0 = time.time()
+    stats = run_extraction(
+        spark,
+        args.source,
+        args.target,
+        args.checkpoint,
+        run_id=args.run_id,
+        n_buckets=args.n_buckets,
+        n_waves=args.n_waves,
+        n_partitions=args.n_partitions,
+    )
+    stats["elapsed_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,158 @@
+"""Dedup family, similarity search, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_addons_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "el rapido zorro marron salta sobre el perro", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    dup = [g for g in groups if g.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 0 and dup[0].ids == [0, 1]
+    assert dedup.dedup_exact(docs, "doc_id", "text").count() == 4
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    assert sigs.count() == 5
+    pairs = dedup.minhash_lsh_pairs(sigs)
+    est = dedup.minhash_jaccard_estimate(sigs, pairs)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in est.collect()}
+    assert got.get((0, 1)) == 1.0           # exact dup → identical signature
+    assert got.get((0, 2), 0) > 0.5         # near dup found with high estimate
+    assert (0, 3) not in got and (1, 3) not in got  # unrelated not candidates
+
+
+def test_minhash_determinism(docs):
+    a = dedup.minhash_signatures(docs, "doc_id", "text").orderBy("id").collect()
+    b = dedup.minhash_signatures(docs, "doc_id", "text").orderBy("id").collect()
+    assert [r.signature for r in a] == [r.signature for r in b]
+
+
+def test_simhash_near_pairs(spark, docs):
+    # block-bucket candidate generation guarantees recall for hamming ≤ 3
+    # (pigeonhole over 4×16-bit blocks); long docs with a 1-word edit land
+    # well inside that ball.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 20
+    edited = base.replace("zeta", "zzz", 1)
+    long_docs = spark.createDataFrame(
+        [(10, base), (11, edited), (12, "unrelated short text")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.simhash_signatures(long_docs, "doc_id", "text")
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert (10, 11) in got and got[(10, 11)] <= 3
+    assert (10, 12) not in got
+
+    # identical texts → hamming 0
+    sigs2 = dedup.simhash_signatures(docs, "doc_id", "text")
+    got2 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(sigs2, max_hamming=3).collect()
+    }
+    assert got2.get((0, 1)) == 0
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0
+    assert 0.5 < got.get((0, 2), 0) < 1.0
+    # blocked: cross-language pairs never considered
+    assert all(a != 4 and b != 4 for a, b in got)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(20, 8))
+    base[1] = base[0] + 0.01 * rng.normal(size=8)  # vec 1 ≈ vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = similarity.cosine_topk_bruteforce(vectors, q, k=3, vec_col="embedding")
+    rows = top.orderBy("rank").collect()
+    assert len(rows) == 3
+    assert rows[0].neighbor_id == 1  # the planted near-neighbor
+    assert rows[0].cos_sim > 0.99
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall_at_1(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = similarity.cosine_topk_lsh(
+        vectors, q, k=3, n_bits=8, dim=8
+    ).orderBy("rank").collect()
+    # multi-probe 1-bit-flip buckets must recover the planted neighbor
+    assert top and top[0].neighbor_id == 1
+
+
+def test_multimodal_meta_and_stub(spark):
+    rows = [
+        (1, b"\x89PNG\r\n fake png bytes"),
+        (2, b"\xff\xd8\xff\xe0 fake jpeg"),
+        (3, b"plain bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r.media_id: r.media_meta for r in multimodal.with_media_meta(df).collect()}
+    assert meta[1].media_type == "image/png"
+    assert meta[2].media_type == "image/jpeg"
+    assert meta[3].media_type == "application/octet-stream"
+    assert meta[1].n_bytes == len(rows[0][1])
+
+    feats = multimodal.extract_media_features(df).collect()
+    by_id = {r.id: r for r in feats}
+    assert len(by_id[1].feature) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in by_id[1].feature)
+    # deterministic
+    feats2 = multimodal.extract_media_features(df).collect()
+    assert {r.id: r.feature for r in feats2} == {r.id: r.feature for r in feats}
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_media_features(df, decode_stub=False).collect()
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    from tika_addons_spark.fixtures import generate_transcripts
+    from tika_addons_spark.streaming.stream import stream_extract
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf = generate_transcripts(n_convs=5, seed=3, whale=False)
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).write.parquet(str(src / "batch1"))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_extract(spark, str(src) + "/*", out, ck)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half
+
+    # new file arrives; availableNow picks up ONLY the new one
+    spark.createDataFrame(pdf.iloc[half:]).write.parquet(str(src / "batch2"))
+    q2 = stream_extract(spark, str(src) + "/*", out, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(pdf)

@@ -204,39 +204,76 @@ _GEN = {
 }
 
 
-def generate_transcripts(
-    n_convs: int = 50, seed: int = 42, whale: bool = True
-) -> pd.DataFrame:
-    """Deterministic transcripts table as a pandas DataFrame."""
-    rng = np.random.RandomState(seed)
+def conversation_rows(c: int, seed: int = 42, whale: bool = True) -> list[dict]:
+    """Deterministic turns for conversation ``c`` — seeded per conversation,
+    so generation parallelizes (any partitioning of conv ids yields the
+    identical table)."""
+    rng = np.random.RandomState((seed * 1_000_003 + c) % (2**31 - 1))
     names = [a for a, _ in ARCHETYPES]
     probs = np.array([p for _, p in ARCHETYPES])
     probs = probs / probs.sum()
 
+    conv_id = f"conv-{c:08d}"
+    n_turns = int(1 + rng.geometric(1.0 / 8))
+    if whale and c == 0:
+        n_turns = 800  # the 100×-median whale (skew fixture)
+    kinds = rng.choice(names, size=n_turns, p=probs)
+    rows = []
+    for t in range(n_turns):
+        role = (
+            ROLES[t % 2]
+            if rng.random_sample() < 0.8
+            else ROLES[int(rng.randint(0, 4))]
+        )
+        tool = TOOLS[int(rng.randint(0, len(TOOLS)))] if role == "tool" else None
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": _GEN[kinds[t]](rng),
+                "tool": tool,
+                "ts": BASE_TS + dt.timedelta(hours=c, minutes=t),
+            }
+        )
+    return rows
+
+
+def generate_transcripts(
+    n_convs: int = 50, seed: int = 42, whale: bool = True
+) -> pd.DataFrame:
+    """Deterministic transcripts table as a pandas DataFrame."""
     rows = []
     for c in range(n_convs):
-        conv_id = f"conv-{c:08d}"
-        # skewed lengths: geometric-ish around median 8
-        n_turns = int(1 + rng.geometric(1.0 / 8))
-        if whale and c == 0:
-            n_turns = 800  # the 100×-median whale (skew fixture)
-        kinds = rng.choice(names, size=n_turns, p=probs)
-        for t in range(n_turns):
-            role = ROLES[t % 2] if rng.random_sample() < 0.8 else ROLES[int(rng.randint(0, 4))]
-            tool = TOOLS[int(rng.randint(0, len(TOOLS)))] if role == "tool" else None
-            rows.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": t,
-                    "role": role,
-                    "text": _GEN[kinds[t]](rng),
-                    "tool": tool,
-                    "ts": BASE_TS + dt.timedelta(hours=c, minutes=t),
-                }
-            )
+        rows.extend(conversation_rows(c, seed=seed, whale=whale))
     pdf = pd.DataFrame(rows)
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
     return pdf
+
+
+def generate_transcripts_spark(spark, n_convs: int, seed: int = 42, whale: bool = True):
+    """Distributed deterministic generation (same rows as
+    ``generate_transcripts``, any partitioning) — used to build bench-scale
+    inputs in parallel."""
+    from .schema import TRANSCRIPTS_SCHEMA  # local import: avoid cycle
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                rows.extend(conversation_rows(int(c), seed=seed, whale=whale))
+            out = pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return (
+        spark.range(0, n_convs, numPartitions=n_parts)
+        .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+    )
 
 
 def write_transcripts_parquet(path: str, n_convs: int = 50, seed: int = 42) -> str:

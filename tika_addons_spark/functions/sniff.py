@@ -38,7 +38,7 @@ UNRELIABLE_MIMES = frozenset(
     }
 )
 
-_RE_HTML = re.compile(r"^\s*(<!doctype\s+html|<html[\s>])", re.IGNORECASE)
+_RE_HTML = re.compile(r"^\s*(?:<!doctype\s+html|<html[\s>])", re.IGNORECASE)
 _RE_HTMLISH = re.compile(
     r"<(?:title|head|body|div|p|table|nav|h[1-6])[\s>]", re.IGNORECASE
 )

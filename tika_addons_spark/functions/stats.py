@@ -50,9 +50,10 @@ def tokens_col(colname: str) -> Column:
     """JVM-side tokenizer: array of lowercase alphabetic tokens.
 
     Takes a column *name* (or SQL expression string) so it composes into
-    ``F.expr`` without touching JVM internals.
+    ``F.expr`` without touching JVM internals. NB: Spark SQL string literals
+    treat backslash as an escape, so the regex backslash is doubled here.
     """
-    return F.expr(f"regexp_extract_all(lower({colname}), '{JAVA_TOKEN}', 0)")
+    return F.expr(f"regexp_extract_all(lower({colname}), '[\\\\p{{L}}]+', 0)")
 
 
 # --- digests ----------------------------------------------------------------

@@ -290,6 +290,7 @@ def ngram_jaccard_pairs(
             r,
             (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")),
         )
+        .filter(union > 0)  # both-empty pairs have undefined similarity
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the task brief:
+
+- brute-force cosine top-k — the exactness baseline. Pure column
+  expressions: ``F.zip_with`` dot product + window top-k. The query side is
+  a small set broadcast against the corpus: one scan, no n² shuffle.
+- LSH-bucketed ANN (random hyperplane signatures) — the scale path. Each
+  vector gets a b-bit signature from seeded random hyperplanes (vectorized
+  numpy in a pandas UDF); candidates meet via multi-probe bucket equi-join,
+  exact cosine re-ranks inside buckets only.
+
+At 100 TB the broadcast side is the query batch and signatures are a narrow
+persisted column; the bucket join shuffles only collisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is small → broadcast cross join against the corpus, one pass;
+    window top-k per query. Returns (query_id, neighbor_id, rank, cos_sim).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("cvec"), F.col("qvec")) / (_norm("cvec") * _norm("qvec")), 4),
+        )
+        .drop("cvec", "qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector (vectorized per batch)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_bits)).astype(np.float64)
+
+    def batch(it):
+        for pdf in it:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sig_bits = (mat @ planes) > 0
+            powers = 1 << np.arange(n_bits, dtype=np.int64)
+            sigs = (sig_bits * powers).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col], "lsh_sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType, False),
+            T.StructField("lsh_sig", T.LongType(), False),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(batch, schema=schema)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: hyperplane-bucket candidates (multi-probe: exact bucket + 1-bit
+    flips) re-ranked by exact cosine. Recall < 1 by design; the bench
+    measures recall vs the brute-force baseline."""
+    sig_c = hyperplane_signatures(corpus, id_col, vec_col, n_bits, dim, seed)
+    sig_q = hyperplane_signatures(queries, id_col, vec_col, n_bits, dim, seed)
+
+    # multi-probe: query probes its bucket plus all 1-bit-flip buckets
+    probes = sig_q.select(
+        F.col("id").alias("query_id"),
+        F.explode(
+            F.array(
+                F.col("lsh_sig"),
+                *[
+                    F.col("lsh_sig").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = probes.join(
+        sig_c.select(F.col("id").alias("neighbor_id"), F.col("lsh_sig").alias("bucket")),
+        "bucket",
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select("query_id", "neighbor_id").distinct()
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("cvec"), F.col("qvec")) / (_norm("cvec") * _norm("qvec")), 4),
+        )
+        .drop("cvec", "qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
