@@ -328,6 +328,112 @@ def q24_lang_guess(spark, sf_dir):
     )
 
 
+def q25_container_rollup(spark, sf_dir):
+    # A5/W1: per-container (user) rollup over ordered members
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q26_time_bucketing(spark, sf_dir):
+    # F11/A9: event-time truncation + grouped timing stats
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+def q27_json_props(spark, sf_dir):
+    # dynamic-schema bag → typed column (the Tika Metadata-bag pattern)
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q28_truncate_flag(spark, sf_dir):
+    # O5: truncate to max length + boolean flag (StreamEater/JDBC writer)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("text_trunc"),
+        (F.length("text") > 120).alias("was_truncated"),
+    )
+
+
+def q35_macro_averaged_stats(spark, sf_dir):
+    # A7: two-level aggregation — per-cell accuracy-style means, then
+    # macro mean/stddev/median across cells per group
+    e = _t(spark, sf_dir, "events")
+    cell = e.groupBy("event_type", F.pmod("user_id", F.lit(10)).alias("cohort")).agg(
+        F.avg("value").alias("cell_avg")
+    )
+    return (
+        cell.groupBy("event_type")
+        .agg(
+            F.round(F.avg("cell_avg"), 4).alias("macro_avg"),
+            F.round(F.stddev_samp("cell_avg"), 4).alias("macro_sd"),
+            F.round(F.expr("percentile(cell_avg, 0.5)"), 4).alias("macro_median"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q36_oov_stats(spark, sf_dir):
+    # A3: common-token count + OOV ratio (multiset semantics — counts every
+    # occurrence, unlike the distinct-intersect in q19)
+    d = _t(spark, sf_dir, "documents")
+    s = textqual.oov_stats("text")
+    return d.select(
+        "doc_id",
+        s["num_alpha_tokens"].alias("num_alpha_tokens"),
+        s["num_common_tokens"].alias("num_common_tokens"),
+        s["oov"].alias("oov"),
+    )
+
+
+def q37_grouping_sets(spark, sf_dir):
+    # rollup/cube coverage (free from Spark; matched in DuckDB)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", F.pmod("user_id", F.lit(5)).alias("cohort"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("cohort").asc_nulls_first()
+        )
+    )
+
+
+def q29_value_histogram(spark, sf_dir):
+    # A13/O3: bucketed histogram sorted desc (ext→ext transition audit shape)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bucket")
+    )
+
+
 # ---- rows-only (not SQL-expressible; pinned by pytest vs the pure oracle) --
 def q30_extract_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -399,6 +505,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_fingerprint": q22_fingerprint,
         "q23_ann_bruteforce": q23_ann_bruteforce,
         "q24_lang_guess": q24_lang_guess,
+        "q25_container_rollup": q25_container_rollup,
+        "q26_time_bucketing": q26_time_bucketing,
+        "q27_json_props": q27_json_props,
+        "q28_truncate_flag": q28_truncate_flag,
+        "q29_value_histogram": q29_value_histogram,
+        "q35_macro_averaged_stats": q35_macro_averaged_stats,
+        "q36_oov_stats": q36_oov_stats,
+        "q37_grouping_sets": q37_grouping_sets,
         "q30_extract_documents": q30_extract_documents,
         "q31_minhash_lsh": q31_minhash_lsh,
         "q32_simhash_pairs": q32_simhash_pairs,
@@ -634,6 +748,69 @@ _ORACLES: dict[str, str] = {
           FROM scored)
         SELECT lang_guess, count(*) AS n FROM best
         GROUP BY lang_guess ORDER BY lang_guess
+    """,
+    "q25_container_rollup": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                 AS n_errors,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q26_time_bucketing": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY day ORDER BY day
+    """,
+    "q27_json_props": """
+        SELECT event_type,
+               sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+               round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q28_truncate_flag": """
+        SELECT doc_id, substring(text, 1, 120) AS text_trunc,
+               length(text) > 120 AS was_truncated
+        FROM documents
+    """,
+    "q29_value_histogram": """
+        SELECT floor(value / 10)::BIGINT AS bucket, count(*) AS n
+        FROM events GROUP BY bucket ORDER BY n DESC, bucket
+    """,
+    "q36_oov_stats": f"""
+        WITH base AS (
+          SELECT doc_id, {_TOK} AS toks,
+                 len(list_filter({_TOK}, t -> list_contains(
+                   ['a','and','con','das','de','den','der','des','die','du',
+                    'el','en','et','ein','for','in','is','ist','it','la','le',
+                    'les','mit','of','para','por','que','that','the','to',
+                    'un','und','von','y','zu'], t))) AS n_common
+          FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS num_alpha_tokens,
+               n_common::BIGINT AS num_common_tokens,
+               CASE WHEN len(toks) > 0
+                 THEN round(1.0 - n_common::DOUBLE / len(toks), 4)
+                 ELSE NULL END AS oov
+        FROM base
+    """,
+    "q37_grouping_sets": """
+        SELECT event_type, user_id % 5 AS cohort, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (event_type, cohort)
+        ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST
+    """,
+    "q35_macro_averaged_stats": """
+        WITH cell AS (
+          SELECT event_type, user_id % 10 AS cohort, avg(value) AS cell_avg
+          FROM events GROUP BY event_type, cohort)
+        SELECT event_type,
+               round(avg(cell_avg), 4) AS macro_avg,
+               round(stddev_samp(cell_avg), 4) AS macro_sd,
+               round(median(cell_avg), 4) AS macro_median
+        FROM cell GROUP BY event_type ORDER BY event_type
     """,
 }
 

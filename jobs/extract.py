@@ -9,11 +9,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-from tika_addons_spark.plans.pipeline import run_extraction
-from tika_addons_spark.session import get_spark
+# allow `python jobs/extract.py` from anywhere; under spark-submit the
+# engine ships via --py-files and this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tika_addons_spark.plans.pipeline import run_extraction  # noqa: E402
+from tika_addons_spark.session import get_spark  # noqa: E402
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -27,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-partitions", type=int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.n_buckets < 1 or args.n_waves < 1:
+        p.error("--n-buckets and --n-waves must be >= 1")
 
     spark = get_spark(app_name=f"extract-{args.run_id}", master=args.master)
     t0 = time.time()

@@ -1,0 +1,99 @@
+"""Report sinks (S5/S9-S13) and date/path scalar functions (F11-F14)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_addons_spark.functions import datetime_path as dp
+from tika_addons_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "clean value", "a/b/c.txt"),
+            (2, "tab\there\nand newline\rret\x00nul", "archive.tar.gz"),
+            (3, "x" * 20_000, "noext"),
+        ],
+        "id long, val string, path string",
+    )
+
+
+def test_clean_string_columns(messy):
+    out = sinks.clean_string_columns(messy, max_len=100)
+    rows = {r.id: r for r in out.collect()}
+    assert "\t" not in rows[2].val and "\n" not in rows[2].val
+    assert "\x00" not in rows[2].val
+    assert len(rows[3].val) == 100 and rows[3].val_truncated
+    assert not rows[1].val_truncated
+
+
+def test_tsv_roundtrip(spark, messy, tmp_path):
+    p = str(tmp_path / "report.tsv")
+    sinks.write_tsv(messy.select("id", "val"), p)
+    back = sinks.read_tsv(spark, p, schema="id long, val string, val_truncated boolean")
+    assert back.count() == 3
+    # cells with tabs/newlines were cleaned, so the TSV stays rectangular
+    assert back.filter(F.col("id").isNull()).count() == 0
+
+
+def test_sink_factory(spark, messy, tmp_path):
+    sinks.write_report(messy, str(tmp_path / "r.tsv"))
+    sinks.write_report(messy, str(tmp_path / "r.csv"))
+    sinks.write_report(messy, str(tmp_path / "rjson"))
+    assert spark.read.options(sep="\t", header=True).csv(str(tmp_path / "r.tsv")).count() == 3
+    # CSV keeps embedded newlines (quoted) — readers need multiLine
+    assert (
+        spark.read.options(header=True, multiLine=True, escape='"')
+        .csv(str(tmp_path / "r.csv"))
+        .count()
+        == 3
+    )
+    assert spark.read.json(str(tmp_path / "rjson")).count() == 3
+
+
+def test_date_parse_fallback(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:00",), ("not a date",)], "s string"
+    )
+    out = df.select(
+        dp.parse_ts_with_fallback(
+            F.col("s"), "yyyy-MM-dd HH:mm:ss",
+            fallback=F.to_timestamp(F.lit("1970-01-01 00:00:00")),
+        ).alias("ts")
+    ).collect()
+    assert out[0].ts.year == 2024
+    assert out[1].ts.year == 1970  # fallback, not a failure
+
+
+def test_datetime_regex_harvest(spark):
+    html = '<relative-time datetime="2020-05-06T07:08:09Z">x</relative-time>'
+    bz = "stuff Reported: 2011-01-02 03:04 UTC by someone"
+    df = spark.createDataFrame([(html, bz)], "a string, b string")
+    r = df.select(
+        dp.extract_datetime_attr(F.col("a")).alias("dt"),
+        dp.extract_reported_date(F.col("b")).alias("rep"),
+    ).collect()[0]
+    assert r.dt == "2020-05-06T07:08:09Z"
+    assert r.rep.startswith("2011-01-02")
+
+
+def test_file_extension_and_paths(spark, messy):
+    out = messy.select(
+        "id",
+        dp.file_extension(F.col("path")).alias("ext"),
+        dp.root_dir(F.col("path")).alias("root"),
+        dp.rest_path("path").alias("rest"),
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].ext == "txt" and rows[1].root == "a" and rows[1].rest == "b/c.txt"
+    assert rows[2].ext == "tgz"  # .tar.gz special case
+    assert rows[3].ext == "" and rows[3].root == "" and rows[3].rest == ""
+
+
+def test_strip_json_suffix(spark):
+    df = spark.createDataFrame([("doc.pdf.json",), ("doc.pdf",)], "s string")
+    got = [r[0] for r in df.select(dp.strip_json_suffix(F.col("s"))).collect()]
+    assert got == ["doc.pdf", "doc.pdf"]

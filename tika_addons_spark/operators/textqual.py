@@ -79,6 +79,28 @@ def token_fingerprint(text_col: str) -> Column:
     )
 
 
+def oov_stats(text_col: str, common_words: list[str] | None = None) -> dict[str, Column]:
+    """Common-token count + OOV ratio (tika-eval CommonTokens semantics,
+    surfaced at ``TikaEvalDocMapper.java:276-287``): of the alphabetic
+    tokens, how many are in the common-words list; OOV = 1 - common/alpha.
+    ``common_words`` is a small broadcast dim at scale."""
+    words = common_words or sorted({w for ws in STOPWORDS.values() for w in ws})
+    toks = tokens_col(text_col)
+    n_alpha = F.size(toks)
+    wordset = F.array(*[F.lit(w) for w in words])
+    common = F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+    return {
+        "num_alpha_tokens": n_alpha.cast("long"),
+        "num_common_tokens": common.cast("long"),
+        "oov": F.round(
+            F.when(n_alpha > 0, 1.0 - common / n_alpha.cast("double")).otherwise(
+                F.lit(None).cast("double")
+            ),
+            4,
+        ),
+    }
+
+
 def lang_guess(text_col: str) -> Column:
     """Cheap stopword-vote language ID (the probing-detector's n-gram scoring
     reduced to marker-word hits; X12 analogue). Deterministic tie-break by

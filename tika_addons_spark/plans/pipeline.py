@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_turns
@@ -43,11 +43,32 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
-    """Explicit skew spread for the per-turn map (§4.2 item 1)."""
+    """Explicit skew spread for the per-turn map (§4.2 item 1).
+
+    Key = (conv_id, turn_idx // SALT_BLOCK): a whale conversation lands on
+    ~n_turns/SALT_BLOCK partitions instead of one, while blocks of adjacent
+    turns stay together for Arrow-batch locality and ordered output."""
     return df.repartition(
         n_partitions,
         F.col("conv_id"),
         (F.col("turn_idx") / F.lit(SALT_BLOCK)).cast("int"),
+    ).sortWithinPartitions("conv_id", "turn_idx")
+
+
+def bucket_salted_repartition(
+    df: DataFrame, n_partitions: int, n_buckets: int
+) -> DataFrame:
+    """Wave-write layout: co-locate rows by output *bucket* (so a
+    ``partitionBy(bucket)`` write produces a bounded number of files per
+    bucket — not #tasks × #buckets small files) while salting within the
+    bucket by turn block so whale conversations still spread."""
+    return df.repartition(
+        n_partitions,
+        F.col("bucket"),
+        F.pmod(
+            F.hash("conv_id", (F.col("turn_idx") / F.lit(SALT_BLOCK)).cast("int")),
+            F.lit(max(2, n_partitions // n_buckets + 1)),
+        ),
     ).sortWithinPartitions("conv_id", "turn_idx")
 
 
@@ -80,19 +101,37 @@ def run_extraction(
     waves = [remaining[i::n_waves] for i in range(n_waves)]
     waves = [w for w in waves if w]
     n_done = 0
+    totals = {"n_turns": 0, "chars_in": 0, "chars_out": 0, "n_parse_failures": 0}
     for wi, wave_buckets in enumerate(waves):
         if fail_after_waves is not None and wi >= fail_after_waves:
             return {"completed_buckets": n_done, "killed": True}
         started = dt.datetime.now(dt.timezone.utc)
         wave_df = src.filter(F.col("bucket").isin(wave_buckets))
-        extracted = extract_turns(salted_repartition(wave_df, n_partitions))
+        extracted = extract_turns(
+            bucket_salted_repartition(wave_df, n_partitions, len(wave_buckets))
+        )
         # bucket is a pure function of conv_id — recompute, don't join (no
         # shuffle; the column is needed only for the partitioned write).
         out = with_bucket(extracted, n_buckets)
-        catalog.write_extracted(out, target)
 
-        # lineage/metrics from the just-committed wave (columnar re-read of
-        # the small metric columns only — no second extraction pass).
+        # A14 — throughput/lineage counters piggyback on the write action
+        # itself (df.observe: zero extra passes; the Spark-native form of
+        # the reference's every-1000-rows progress logs).
+        obs = Observation(f"wave_{wi}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.sum((F.col("parse_status") == STATUS_REJECTED).cast("long")).alias(
+                "n_parse_failures"
+            ),
+        )
+        catalog.write_extracted(out, target)
+        wave_totals = obs.get
+
+        # per-bucket lineage from the just-committed wave (columnar re-read
+        # of the small metric columns only — no second extraction pass).
         stats = (
             catalog.read_extracted(spark, target)
             .filter(F.col("bucket").isin(wave_buckets))
@@ -141,5 +180,9 @@ def run_extraction(
         )
         catalog.append_checkpoint(ckpt_rows, ckpt)
         n_done += len(wave_buckets)
+        totals["n_turns"] += int(wave_totals.get("n_turns") or 0)
+        totals["chars_in"] += int(wave_totals.get("chars_in") or 0)
+        totals["chars_out"] += int(wave_totals.get("chars_out") or 0)
+        totals["n_parse_failures"] += int(wave_totals.get("n_parse_failures") or 0)
 
-    return {"completed_buckets": n_done, "killed": False}
+    return {"completed_buckets": n_done, "killed": False, **totals}

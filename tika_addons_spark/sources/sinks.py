@@ -1,0 +1,86 @@
+"""Report sinks + sink factory (SURVEY.md §2.1 S9–S13).
+
+The reference writes TSV (tab-join + ``[\\t\\r\\n]``→space clean,
+``MimeAndDigester.java:328-359``), CSV with header
+(``batchlite/.../writer/CSVMetadataWriter.java:31-69``), one-JSON-per-record
+(``JSONMetadataWriter.java:27-50``), JDBC batches with value cleaning +
+truncation (``JDBCMetadataWriter.java:63-122``), and picks the sink from the
+target URI (``MetadataWriterFactory.java:26-34``).
+
+Spark-first: each sink is a ``DataFrameWriter`` configuration plus the same
+value-hygiene column transforms (clean + truncate, O5/F8), applied
+declaratively so they run JVM-side. The primary data sink is the columnar
+table (catalog.py); these are for reports/exports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# JDBCMetadataWriter.java:111-122: values truncated to a max length with a
+# *_truncated flag; we keep the same contract.
+MAX_CELL_LEN = 10_000
+
+
+def clean_string_columns(df: DataFrame, max_len: int = MAX_CELL_LEN) -> DataFrame:
+    """F8 + O5 hygiene for flat-file sinks: NUL removed, tab/CR/LF → space,
+    cells truncated with a boolean flag column per truncated field."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StringType):
+            c = F.col(field.name)
+            cleaned = F.regexp_replace(
+                F.regexp_replace(c, "\x00", ""), "[\\t\\r\\n]", " "
+            )
+            out = out.withColumn(
+                f"{field.name}_truncated",
+                (F.length(cleaned) > max_len).alias(f"{field.name}_truncated"),
+            ).withColumn(field.name, F.substring(cleaned, 1, max_len))
+    return out
+
+
+def write_tsv(df: DataFrame, path: str, **opts) -> None:
+    """S9 — TSV with header; strings pre-cleaned so cells never break rows."""
+    clean_string_columns(df).write.mode("overwrite").options(
+        sep="\t", header=True, **opts
+    ).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, **opts) -> None:
+    """S11 — CSV (quoted, Excel-compatible defaults) with header."""
+    df.write.mode("overwrite").options(
+        header=True, quoteAll=False, escape='"', **opts
+    ).csv(path)
+
+
+def write_json_records(df: DataFrame, path: str, **opts) -> None:
+    """S12 — newline-delimited JSON records (the table-scale form of the
+    reference's one-file-per-record JSON tree)."""
+    df.write.mode("overwrite").options(**opts).json(path)
+
+
+def write_report(df: DataFrame, target: str) -> None:
+    """S13 — sink factory by target suffix/scheme, mirroring
+    MetadataWriterFactory: .tsv→TSV, .csv→CSV, jdbc:→JDBC, else JSON."""
+    if target.endswith(".tsv"):
+        write_tsv(df, target)
+    elif target.endswith(".csv"):
+        write_csv(df, target)
+    elif target.startswith("jdbc:"):
+        # S10 — needs a JDBC driver jar on the classpath (none in the
+        # sandbox image); same value hygiene as the reference's writer.
+        clean_string_columns(df).write.mode("overwrite").format("jdbc").options(
+            url=target, dbtable="report"
+        ).save()
+    else:
+        write_json_records(df, target)
+
+
+def read_tsv(spark, path: str, schema=None) -> DataFrame:
+    """S5 — TSV source (optionally gz; codec is auto-detected)."""
+    reader = spark.read.options(sep="\t", header=True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
