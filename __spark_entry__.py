@@ -434,6 +434,38 @@ def q29_value_histogram(spark, sf_dir):
     )
 
 
+def q38_embedding_near_dup(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs, blocked by label (at scale the
+    # block is an LSH bucket; label keeps the sandbox pair count bounded)
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+        F.col("embedding").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---- rows-only (not SQL-expressible; pinned by pytest vs the pure oracle) --
 def q30_extract_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -513,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_macro_averaged_stats": q35_macro_averaged_stats,
         "q36_oov_stats": q36_oov_stats,
         "q37_grouping_sets": q37_grouping_sets,
+        "q38_embedding_near_dup": q38_embedding_near_dup,
         "q30_extract_documents": q30_extract_documents,
         "q31_minhash_lsh": q31_minhash_lsh,
         "q32_simhash_pairs": q32_simhash_pairs,
@@ -801,6 +834,18 @@ _ORACLES: dict[str, str] = {
         FROM events
         GROUP BY ROLLUP (event_type, cohort)
         ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST
+    """,
+    "q38_embedding_near_dup": """
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95
+        ORDER BY id_a, id_b
     """,
     "q35_macro_averaged_stats": """
         WITH cell AS (

@@ -67,9 +67,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: the extraction pipeline (salted repartition + Arrow UDF map)
-    t0 = time.time()
+    # headline: the extraction pipeline (salted repartition + Arrow UDF map).
+    # one warm-up pass first — codegen JIT + Python worker pool spin-up
+    # otherwise dominates a single cold measurement.
     extracted = extract_turns(salted_repartition(transcripts, cpus * 2))
+    extracted.count()
+    t0 = time.time()
     out_n = extracted.count()
     t_extract = time.time() - t0
     timings["extract_transcripts"] = round(t_extract, 3)

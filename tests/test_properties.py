@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the extraction kernel is a total
+function with bounded, well-formed output on ARBITRARY input — the
+generalization of the reference's hostile-input tests
+(tika-cli-client test-documents, testPDF_corrupt; SURVEY.md §5.6)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tika_addons_spark.functions.cleaners import clean_mtext
+from tika_addons_spark.functions.normalize import collapse_newlines, normalize_ws
+from tika_addons_spark.functions.stats import text_digest, text_profile_digest, tokens_of
+from tika_addons_spark.oracle import MAX_EXTRACTED_CHARS, extract_one
+from tika_addons_spark.operators.payload import scan_xpackets
+
+text_strategy = st.one_of(
+    st.none(),
+    st.text(max_size=2000),
+    # markup-ish soup
+    st.text(
+        alphabet=st.sampled_from(list("<>&;/\\{}^#%PDFhtml aA1\n\t\r\x00°déjà𝐀")),
+        max_size=500,
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_strategy)
+def test_extract_one_total_and_bounded(text):
+    r = extract_one(text)
+    assert r["parse_status"] in {"valid", "valid-warnings", "rejected"}
+    assert r["chars_out"] == len(r["extracted_text"]) <= MAX_EXTRACTED_CHARS
+    assert r["chars_in"] == (len(text) if isinstance(text, str) else 0)
+    n = r["chars_in"]
+    last = -1
+    for s in r["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= n
+        assert s["start"] >= last or s["kind"] == "title"
+        if s["kind"] == "main":
+            last = s["start"]
+    # sink hygiene: no NUL/tab/CR survives
+    assert all(c not in r["extracted_text"] for c in "\x00\t\r")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=1000))
+def test_normalizers_idempotent(t):
+    assert collapse_newlines(collapse_newlines(t)) == collapse_newlines(t)
+    assert normalize_ws(normalize_ws(t)) == normalize_ws(t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("\\AHfSPLlOoKk{};^#|0123456789.,ab ")), max_size=300))
+def test_mtext_cleaner_strips_all_codes(t):
+    out = clean_mtext(t)
+    assert "\\" not in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=1000))
+def test_digests_invariant_under_space(t):
+    # whitespace/punct insensitivity holds for ALL text
+    assert text_digest(t) == text_digest("  " + t.replace(" ", "   ") + " ")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=500
+    ).filter(lambda t: t.upper().lower() == t.lower())
+)
+def test_digests_invariant_under_case(t):
+    # case insensitivity holds where Unicode case mapping round-trips
+    # (ß→SS, İ→i̇ legitimately change the token sequence — same in Java)
+    assert text_digest(t) == text_digest(t.upper())
+    assert text_profile_digest(t) == text_profile_digest(t.upper())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500), st.integers(0, 3))
+def test_xpacket_scan_finds_planted_packets(body, k):
+    packet = '<?xpacket begin="x"?>payload<?xpacket end="w"?>'
+    clean = body.replace("<?xpacket", "")
+    t = (clean + packet) * k
+    spans = scan_xpackets(t)
+    assert len(spans) == k
+    for s, e in spans:
+        assert t[s : s + len('<?xpacket begin=')] == "<?xpacket begin="
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("abcdefg the fox".split()), max_size=50))
+def test_token_count_matches_definition(words):
+    t = " ".join(words)
+    assert len(tokens_of(t)) == len(words)
