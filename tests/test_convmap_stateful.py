@@ -1,0 +1,81 @@
+"""Grouped-map conversation operators + stateful streaming state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stamp_container_fields(spark):
+    rows = [
+        ("c1", 2, "u", "bbb", None, None),
+        ("c1", 0, "u", "aaaa", None, None),  # out of order on purpose
+        ("c1", 1, "a", "cc", None, None),
+        ("c2", 5, "u", "x", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    from tika_addons_spark.operators.convmap import stamp_container_fields
+
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in stamp_container_fields(df).collect()
+    }
+    assert out[("c1", 0)].position == 0 and out[("c1", 2)].position == 2
+    assert out[("c1", 1)].container_turn_idx == 0
+    assert out[("c1", 0)].total_turns == 3
+    assert out[("c1", 0)].conv_chars == 9  # 4 + 2 + 3
+    assert out[("c2", 5)].position == 0 and out[("c2", 5)].total_turns == 1
+
+
+def test_dedupe_consecutive_turns(spark):
+    rows = [
+        ("c", 0, "hello"),
+        ("c", 1, "hello"),   # consecutive dup -> dropped
+        ("c", 2, "world"),
+        ("c", 3, "hello"),   # not consecutive -> kept
+        ("c", 4, None),
+        ("c", 5, None),      # null never treated as dup
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    from tika_addons_spark.operators.convmap import dedupe_consecutive_turns
+
+    kept = sorted(r.turn_idx for r in dedupe_consecutive_turns(df).collect())
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_stateful_running_state_across_microbatches(spark, tmp_path):
+    from tika_addons_spark.streaming.stateful import conversation_running_state
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [("c1", 0, "aaaa"), ("c1", 1, "bb"), ("c2", 0, "c")]
+    b2 = [("c1", 2, "ddd"), ("c2", 1, "ee")]
+    schema = "conv_id string, turn_idx int, text string"
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, text string"
+        )
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        conversation_running_state(stream)
+        .writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per conv reflects the FULL accumulated state
+    rows = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n, max(chars) AS ch, max(last_turn_idx) AS lt "
+        "FROM conv_state GROUP BY conv_id"
+    ).collect()
+    got = {r.conv_id: (r.n, r.ch, r.lt) for r in rows}
+    assert got["c1"] == (3, 9, 2)
+    assert got["c2"] == (2, 3, 1)  # "c" (1 char) + "ee" (2 chars)
