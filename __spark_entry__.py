@@ -29,8 +29,6 @@ from tika_addons_spark.operators.extract import extract_turns
 
 SF001 = "/root/testdata/sf0.001"
 
-TOKEN_RE = r"[\p{L}]+"  # same dialect meaning in Java regex & RE2
-
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

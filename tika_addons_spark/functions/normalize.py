@@ -37,7 +37,6 @@ RE_URL = re.compile(r"https?://[-_.?&~;+=/#0-9A-Za-z]{10,10000}")
 # TikaOpenNLPDetector.java:120
 RE_EMAIL = re.compile(r"[-_.0-9A-Za-z]{1,100}@[-_0-9A-Za-z]{1,100}[-_.0-9A-Za-z]{1,100}")
 # Python's \w includes digits/underscore; [^\W\d_] == unicode alphabetic.
-RE_NON_ALPHA = re.compile(r"[^\w]|[\d_]", re.UNICODE)
 RE_NON_ALPHA_RUN = re.compile(r"(?:[^\w]|[\d_])+", re.UNICODE)
 RE_CONTROL = re.compile(r"[\t\r\n]")
 

@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 
 # Alphabetic-token pattern: unicode letters only (Java \p{L}+ ≡ this).
 RE_TOKEN = re.compile(r"[^\W\d_]+", re.UNICODE)
-JAVA_TOKEN = r"[\p{L}]+"
 
 RE_ALPHA_CP = re.compile(r"[^\W\d_]", re.UNICODE)
 RE_NON_WS_CP = re.compile(r"\S", re.UNICODE)

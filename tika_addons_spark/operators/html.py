@@ -106,7 +106,6 @@ _TOKEN_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
-_HAS_ENTITY = re.compile(r"&")
 # tags we need attributes for; everything else skips attr parsing entirely
 _ATTR_TAGS = frozenset({"meta", "tr"})
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.stats import JAVA_TOKEN, tokens_col
+from ..functions.stats import tokens_col
 
 # Tiny built-in stopword lists (public, trivial); used for quality scoring
 # and the n-gram language heuristic. At scale these become a broadcast dim.
