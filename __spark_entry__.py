@@ -678,8 +678,7 @@ _ORACLES: dict[str, str] = {
     "q17_sniff_content_type": """
         SELECT CASE
                  WHEN text IS NULL OR length(text) = 0 THEN 'application/octet-stream'
-                 WHEN ltrim(text) LIKE '%%PDF-%' AND position('%PDF-' IN ltrim(text)) = 1
-                   THEN 'application/pdf'
+                 WHEN position('%PDF-' IN ltrim(text)) = 1 THEN 'application/pdf'
                  WHEN ltrim(text) LIKE '<?xml%' THEN 'application/xml'
                  WHEN lower(ltrim(text)) LIKE '<!doctype html%'
                    OR lower(ltrim(text)) LIKE '<html%' THEN 'text/html'
