@@ -432,6 +432,26 @@ def q29_value_histogram(spark, sf_dir):
     )
 
 
+def q39_sessionization(spark, sf_dir):
+    # session ids per user: gap > 30 min starts a new session (lag +
+    # cumulative sum window — the batch form of session_window)
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_no", F.sum("new_sess").over(w).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 def q38_embedding_near_dup(spark, sf_dir):
     # embedding-cosine near-duplicate pairs, blocked by label (at scale the
     # block is an LSH bucket; label keeps the sandbox pair count bounded)
@@ -544,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_oov_stats": q36_oov_stats,
         "q37_grouping_sets": q37_grouping_sets,
         "q38_embedding_near_dup": q38_embedding_near_dup,
+        "q39_sessionization": q39_sessionization,
         "q30_extract_documents": q30_extract_documents,
         "q31_minhash_lsh": q31_minhash_lsh,
         "q32_simhash_pairs": q32_simhash_pairs,
@@ -831,6 +852,26 @@ _ORACLES: dict[str, str] = {
         FROM events
         GROUP BY ROLLUP (event_type, cohort)
         ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST
+    """,
+    "q39_sessionization": """
+        WITH seq AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      OR lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        labeled AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no,
+                 ts
+          FROM seq)
+        SELECT user_id, session_no, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM labeled GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
     """,
     "q38_embedding_near_dup": """
         WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
