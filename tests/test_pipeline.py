@@ -68,6 +68,34 @@ def test_kill_and_resume_equals_clean_run(spark, transcripts_path, tmp_path):
     assert a.count() == b.count()
 
 
+def test_committed_read_isolation(spark, transcripts_path, tmp_path):
+    """Readers using the checkpoint-as-manifest see ONLY completed waves."""
+    out = str(tmp_path / "iso")
+    ckpt = str(tmp_path / "isock")
+    st = run_extraction(
+        spark, transcripts_path, out, ckpt,
+        run_id="iso", n_buckets=8, n_waves=4, fail_after_waves=2,
+    )
+    assert st["killed"]
+    raw = catalog.read_extracted(spark, out)
+    committed = catalog.read_extracted_committed(spark, out, ckpt, "iso")
+    # the manifest view only exposes checkpointed buckets...
+    assert committed.select("bucket").distinct().count() == 4
+    assert committed.count() == raw.filter(
+        F.col("bucket").isin(
+            [int(r.partition_key.split("=")[1])
+             for r in catalog.completed_keys(spark, ckpt, "iso").collect()]
+        )
+    ).count()
+    # ...and after resume it equals the raw table
+    run_extraction(spark, transcripts_path, out, ckpt, run_id="iso",
+                   n_buckets=8, n_waves=4)
+    assert (
+        catalog.read_extracted_committed(spark, out, ckpt, "iso").count()
+        == catalog.read_extracted(spark, out).count()
+    )
+
+
 def test_rollup_and_position(spark, transcripts_df):
     ext = extract_turns(transcripts_df)
     roll = conversation_rollup(ext)

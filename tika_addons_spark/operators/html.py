@@ -72,9 +72,14 @@ class Block:
     is_heading: bool = False
     in_attach_row: bool = False
 
+    _text: str | None = None
+
     @property
     def text(self) -> str:
-        return _RE_WS.sub(" ", "".join(self.parts)).strip()
+        # cached: computed at flush-time and again when joining kept blocks
+        if self._text is None:
+            self._text = _RE_WS.sub(" ", "".join(self.parts)).strip()
+        return self._text
 
     @property
     def link_density(self) -> float:

@@ -65,6 +65,25 @@ def read_extracted(spark: SparkSession, target: str) -> DataFrame:
     return spark.read.table(target)
 
 
+def read_extracted_committed(
+    spark: SparkSession, target: str, ckpt: str, run_id: str
+) -> DataFrame:
+    """Snapshot-consistent read: only buckets whose checkpoint row says
+    ``completed`` for this run — the checkpoint table doubles as the commit
+    manifest, so readers never see a wave that is mid-write (with Iceberg
+    this isolation comes from snapshot reads; this is the parquet-backend
+    equivalent, SURVEY.md §8)."""
+    committed = (
+        completed_keys(spark, ckpt, run_id)
+        .select(
+            F.regexp_extract("partition_key", r"bucket=(\d+)", 1)
+            .cast("int")
+            .alias("bucket")
+        )
+    )
+    return read_extracted(spark, target).join(F.broadcast(committed), "bucket")
+
+
 def append_checkpoint(df: DataFrame, ckpt: str) -> None:
     """Append checkpoint rows (one per completed partition_key). Parquet
     append of new files is atomic-enough per wave; Iceberg path is a real
