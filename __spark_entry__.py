@@ -581,8 +581,8 @@ _TOK = "regexp_extract_all(lower(text), '[\\p{L}]+')"
 _ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(round(l_quantity*100)::BIGINT)      AS sum_qty_cents,
-               sum(round(l_extendedprice*100)::BIGINT) AS sum_base_cents,
+               sum(round(l_quantity*100)::BIGINT)::BIGINT      AS sum_qty_cents,
+               sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS sum_base_cents,
                round(avg(l_quantity), 4)  AS avg_qty,
                round(avg(l_discount), 4)  AS avg_disc,
                count(*)                   AS count_order
@@ -592,7 +592,7 @@ _ORACLES: dict[str, str] = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "q02_source_lang_profile": """
-        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         FROM documents GROUP BY source, lang
         ORDER BY n_docs DESC, source, lang
     """,
@@ -816,7 +816,7 @@ _ORACLES: dict[str, str] = {
     """,
     "q27_json_props": """
         SELECT event_type,
-               sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
