@@ -1,0 +1,170 @@
+"""Quantitative quality gates for the approximate operators (q31/q32/q33/q41).
+
+The driver's correctness gate can only row-count these (no SQL oracle), so
+each one gets a measured recall/error bound here against its exact
+counterpart:
+
+- simhash candidate generation: recall MUST be 1.0 within the Hamming ball
+  (the pigeonhole block scheme is a guarantee, not a heuristic).
+- minhash LSH estimate: |estimated - exact shingle Jaccard| within the
+  binomial error of a 64-hash signature.
+- q41 (LSH-verified near-dup): recall vs the exact all-pairs token-Jaccard
+  baseline, precision exact-by-construction.
+- ANN LSH: recall ≥ 0.9 on clustered vectors (the realistic embedding
+  case); a measured floor on the isotropic testdata corpus, where any
+  sublinear ANN provably degrades (no neighbor structure to exploit).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from tika_addons_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_simhash_candidate_recall_is_exactly_one(spark, docs):
+    """Pigeonhole guarantee: every pair within max_hamming must be found.
+
+    q32 calls max_hamming=8 → 9 blocks; a pair differing ≤8 bits shares at
+    least one block. Exact baseline computed all-pairs in numpy."""
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
+    sp = sigs.toPandas()
+    vals = sp["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    ids = sp["id"].to_numpy()
+
+    x = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    tmp = x.copy()
+    for _ in range(64):
+        ham += (tmp & np.uint64(1)).astype(np.int64)
+        tmp >>= np.uint64(1)
+    iu, ju = np.triu_indices(len(ids), 1)
+    exact = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j])): int(ham[i, j])
+        for i, j in zip(iu, ju)
+        if ham[i, j] <= 8
+    }
+    assert exact, "fixture must contain pairs within the ball"
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(sigs, max_hamming=8).collect()
+    }
+    missed = set(exact) - set(got)
+    assert not missed, f"pigeonhole recall violated: {sorted(missed)[:5]}"
+    # and the reported hamming distances are exact
+    assert all(got[p] == exact[p] for p in exact)
+    # no false positives past the verify filter
+    assert set(got) == set(exact)
+
+
+def test_minhash_estimate_error_bound(spark, docs):
+    """64-hash MinHash estimate vs exact char-5-shingle Jaccard on every LSH
+    candidate pair: binomial error ⇒ mean |err| ≲ 0.05, max ≲ 0.25
+    (measured on this corpus: mean 0.036, max 0.147)."""
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text").persist()
+    est = dedup.minhash_jaccard_estimate(
+        sigs, dedup.minhash_lsh_pairs(sigs)
+    ).toPandas()
+    assert len(est) > 100
+
+    txt = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def shingles(t, k=5):
+        t = (t or "").lower()
+        if len(t) < k:
+            t = t + " " * (k - len(t))
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    errs = np.array(
+        [
+            abs(
+                len(shingles(txt[r.id_a]) & shingles(txt[r.id_b]))
+                / len(shingles(txt[r.id_a]) | shingles(txt[r.id_b]))
+                - r.est_jaccard
+            )
+            for r in est.itertuples()
+        ]
+    )
+    assert errs.mean() <= 0.06
+    assert errs.max() <= 0.25
+    sigs.unpersist()
+
+
+def test_q41_verified_neardup_recall_and_precision(spark):
+    """q41 (token-unit MinHash → LSH candidates → exact Jaccard verify) vs
+    the exact all-pairs token-Jaccard ≥ 0.8 baseline (DuckDB).
+
+    Precision is 1.0 by construction (the verify step is exact); recall
+    depends only on LSH candidate coverage — the 16×4 banding puts the
+    s-curve midpoint at ~0.5, so ≥0.8-Jaccard pairs are caught w.p. ~0.9998
+    each (measured 1.0 on this corpus)."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    tok = "list_distinct(regexp_extract_all(lower(text), '[\\p{L}]+'))"
+    exact = con.sql(
+        f"""WITH t AS (SELECT doc_id, {tok} AS toks FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8"""
+    ).df()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert len(exact_pairs) > 1000
+
+    got = entry_mod.queries()["q41_lsh_verified_neardup"](spark, SF_DIR).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    precision = len(got_pairs & exact_pairs) / max(len(got_pairs), 1)
+    assert recall >= 0.99, f"recall {recall}"
+    assert precision == 1.0, f"precision {precision}"
+
+
+def test_ann_lsh_recall_clustered(spark):
+    """Multi-table hyperplane LSH must reach recall ≥ 0.9 where embeddings
+    have real neighbor structure (clusters with within-cluster cos ~0.9)."""
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(200):
+        c = centers[i % 10]
+        v = c + 0.25 * rng.normal(size=32)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 10)
+
+    exact = similarity.cosine_topk_bruteforce(df, q, k=5).toPandas()
+    ann = similarity.cosine_topk_lsh(
+        df, q, k=5, n_bits=8, dim=32, n_tables=16
+    ).toPandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+    an = set(zip(ann.query_id, ann.neighbor_id))
+    recall = len(ex & an) / len(ex)
+    assert recall >= 0.9, f"clustered recall {recall}"
+
+
+def test_ann_lsh_recall_floor_on_testdata(spark):
+    """q33 vs q23 on the driver's isotropic embeddings: top-5 'neighbors'
+    sit at cos ~0.3-0.45, where LSH gaps narrow by theory. Pin a measured
+    floor (0.48 at the current parameters) so regressions are visible."""
+    exact = entry_mod.queries()["q23_ann_bruteforce"](spark, SF_DIR).toPandas()
+    ann = entry_mod.queries()["q33_ann_lsh"](spark, SF_DIR).toPandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+    an = set(zip(ann.query_id, ann.neighbor_id))
+    recall = len(ex & an) / len(ex)
+    assert recall >= 0.4, f"testdata recall {recall}"

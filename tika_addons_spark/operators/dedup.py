@@ -63,13 +63,18 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: with a,b,x < 2^31 the product a*x < 2^62 fits in
+# uint64, so (a*x + b) mod p is computed exactly and the universal-hash
+# family guarantee behind the Jaccard estimate actually holds (the earlier
+# 61-bit-prime variant silently overflowed int64 and degraded to an ad-hoc
+# deterministic mix).
+_MERSENNE = (1 << 31) - 1
 
 
 def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE, size=n_hashes).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes).astype(np.uint64)
     return a, b
 
 
@@ -81,8 +86,24 @@ def _hash_strings(strings: list[str] | np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(strings, dtype=object))
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-shingle 64-bit hashes (vectorized, deterministic)."""
+import re as _re
+
+_WORD_RE = _re.compile(r"[^\W\d_]+", _re.UNICODE)
+
+
+def _shingle_hashes(text: str, k: int, unit: str = "char") -> np.ndarray:
+    """64-bit element hashes of the document's similarity set (vectorized,
+    deterministic). ``unit="char"``: character k-shingles — MinHash then
+    estimates *shingle* Jaccard (robust to word reordering, the classic
+    near-dup setting). ``unit="token"``: distinct word tokens — MinHash then
+    estimates *token-set* Jaccard, matching exactly what
+    :func:`jaccard_verify_pairs` verifies (candidates and verifier must
+    measure the same similarity or LSH recall collapses)."""
+    if unit == "token":
+        elems = list({m.group(0) for m in _WORD_RE.finditer(text)})
+        if not elems:
+            return np.array([], dtype=np.uint64)
+        return np.unique(_hash_strings(elems))
     if len(text) < k:
         text = text + " " * (k - len(text))
     shingles = [text[i : i + k] for i in range(len(text) - k + 1)]
@@ -96,22 +117,29 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    unit: str = "char",
 ) -> DataFrame:
-    """(id, signature array<long>) via a vectorized pandas UDF."""
+    """(id, signature array<long>) via a vectorized pandas UDF.
+
+    ``unit`` picks the similarity space (see :func:`_shingle_hashes`): use
+    ``"token"`` when downstream verification is token-set Jaccard."""
     a, b = _minhash_params(n_hashes, seed)
 
     def batch(it):
+        p = np.uint64(_MERSENNE)
         for pdf in it:
             sigs = []
             for t in pdf[text_col]:
                 t = t if isinstance(t, str) else ""
-                sh = _shingle_hashes(t.lower(), shingle_k).astype(np.int64)
+                sh = _shingle_hashes(t.lower(), shingle_k, unit)  # uint64
                 if len(sh) == 0:
                     sigs.append([0] * n_hashes)
                     continue
-                # (n_hashes, n_shingles) affine hash, min per row
-                vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-                sigs.append(vals.min(axis=1).tolist())
+                # (n_hashes, n_shingles) affine hash in uint64 — all operands
+                # < 2^31 so products stay < 2^62, no overflow; min per row
+                x = sh % p
+                vals = (a[:, None] * x[None, :] + b[:, None]) % p
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
 
     schema = T.StructType(
@@ -212,10 +240,11 @@ def simhash_signatures(
                 hs = _hash_strings(toks)
                 bits_mat = ((hs[:, None] & powers[None, :]) != 0).astype(np.int32)
                 votes = bits_mat.sum(axis=0) * 2 - len(toks)
-                sig = np.uint64(0)
-                for bpos in np.nonzero(votes > 0)[0]:
-                    sig |= powers[bpos]
-                out.append(int(np.int64(sig)))  # store as signed long
+                sig = int(powers[votes > 0].sum(dtype=np.uint64))
+                # explicit two's-complement reinterpretation into a signed
+                # long (int(np.int64(x)) raises OverflowError on numpy>=2
+                # when bit 63 is set)
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
     schema = T.StructType(
@@ -228,20 +257,30 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs within a Hamming ball: 4×16-bit block bucketing
-    (pigeonhole: ≤3 differing bits ⇒ at least one 16-bit block identical),
-    then exact Hamming verify via bit_count(xor)."""
+    """Candidate pairs within a Hamming ball, with a *guaranteed-recall*
+    block scheme: the 64 bits are split into ``max_hamming + 1`` blocks, so
+    by pigeonhole any pair differing in ≤ max_hamming bits shares at least
+    one identical block (the earlier fixed 4×16 split only guaranteed
+    hamming ≤ 3 and silently missed wider pairs). Candidates meet via a
+    (block_idx, block_val) equi-join; exact Hamming verifies via
+    bit_count(xor). More blocks ⇒ shorter blocks ⇒ more collisions, which
+    is the correct recall/cost trade and still never O(n²) corpus-wide."""
+    n_blocks = min(max(int(max_hamming) + 1, 1), 64)
+    # split 64 bits as evenly as possible: first (64 % n_blocks) blocks get
+    # the extra bit
+    base_w, extra = divmod(64, n_blocks)
+    block_cols, off = [], 0
+    for i in range(n_blocks):
+        w = base_w + (1 if i < extra else 0)
+        mask = (1 << w) - 1
+        block_cols.append(
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(mask)
+        )
+        off += w
     blocks = sigs.select(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(0xFFFF)
-                    for i in range(4)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
+        F.posexplode(F.array(*block_cols)).alias("block_idx", "block_val"),
     )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
@@ -267,6 +306,40 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 # token-set Jaccard on blocked candidates (SQL-expressible; oracle-checked)
 # ---------------------------------------------------------------------------
+def jaccard_verify_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over an externally supplied candidate-pair
+    set (``candidates``: id_a, id_b — e.g. from :func:`minhash_lsh_pairs`).
+
+    This is the scale path for verified near-dup: candidate generation is
+    LSH-bucketed (shuffle ∝ collisions), and the expensive exact verify runs
+    only on candidates — the full pipeline never touches an O(n²) join, not
+    even within a natural-key block."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.array_sort(tokens_col(text_col))).alias("toks"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a")), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b")), "id_b")
+        .filter(union > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

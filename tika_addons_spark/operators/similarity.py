@@ -82,24 +82,44 @@ def hyperplane_signatures(
     n_bits: int = 16,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature per vector (vectorized per batch)."""
+    """Random-hyperplane LSH signatures per vector, ``n_tables`` independent
+    tables (vectorized per batch). Output: (id, table, lsh_sig) — one row per
+    table, so the bucket join key is (table, lsh_sig).
+
+    Multi-table is the standard OR-amplification: P(candidate) =
+    1-(1-p^b)^L, which is what makes hyperplane LSH usable at moderate
+    similarity — a single b-bit table has p^b recall and misses almost
+    everything once cos < 0.9."""
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_bits)).astype(np.float64)
+    planes = rng.normal(size=(n_tables, dim, n_bits)).astype(np.float64)
+    powers = 1 << np.arange(n_bits, dtype=np.int64)
 
     def batch(it):
         for pdf in it:
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            sig_bits = (mat @ planes) > 0
-            powers = 1 << np.arange(n_bits, dtype=np.int64)
-            sigs = (sig_bits * powers).sum(axis=1).astype(np.int64)
-            yield pd.DataFrame({"id": pdf[id_col], "lsh_sig": sigs})
+            ids, tables, sigs = [], [], []
+            for t in range(n_tables):
+                sig_bits = (mat @ planes[t]) > 0
+                sig = (sig_bits * powers).sum(axis=1).astype(np.int64)
+                ids.append(pdf[id_col].to_numpy())
+                tables.append(np.full(len(pdf), t, dtype=np.int32))
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids),
+                    "table": np.concatenate(tables),
+                    "lsh_sig": np.concatenate(sigs),
+                }
+            )
 
     schema = T.StructType(
         [
             T.StructField("id", df.schema[id_col].dataType, False),
+            T.StructField("table", T.IntegerType(), False),
             T.StructField("lsh_sig", T.LongType(), False),
         ]
     )
@@ -115,16 +135,25 @@ def cosine_topk_lsh(
     n_bits: int = 16,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """ANN: hyperplane-bucket candidates (multi-probe: exact bucket + 1-bit
-    flips) re-ranked by exact cosine. Recall < 1 by design; the bench
-    measures recall vs the brute-force baseline."""
-    sig_c = hyperplane_signatures(corpus, id_col, vec_col, n_bits, dim, seed)
-    sig_q = hyperplane_signatures(queries, id_col, vec_col, n_bits, dim, seed)
+    """ANN: multi-table hyperplane-bucket candidates (per-table multi-probe:
+    exact bucket + 1-bit flips) re-ranked by exact cosine. Recall < 1 by
+    design and is measured against the brute-force baseline in
+    tests/test_lsh_quality.py; on isotropic random vectors any sublinear
+    ANN degrades toward scan — the gates pin recall on clustered fixtures."""
+    sig_c = hyperplane_signatures(
+        corpus, id_col, vec_col, n_bits, dim, seed, n_tables
+    )
+    sig_q = hyperplane_signatures(
+        queries, id_col, vec_col, n_bits, dim, seed, n_tables
+    )
 
-    # multi-probe: query probes its bucket plus all 1-bit-flip buckets
+    # multi-probe: query probes its bucket plus all 1-bit-flip buckets,
+    # within each table
     probes = sig_q.select(
         F.col("id").alias("query_id"),
+        "table",
         F.explode(
             F.array(
                 F.col("lsh_sig"),
@@ -136,8 +165,12 @@ def cosine_topk_lsh(
         ).alias("bucket"),
     )
     cand = probes.join(
-        sig_c.select(F.col("id").alias("neighbor_id"), F.col("lsh_sig").alias("bucket")),
-        "bucket",
+        sig_c.select(
+            F.col("id").alias("neighbor_id"),
+            "table",
+            F.col("lsh_sig").alias("bucket"),
+        ),
+        ["table", "bucket"],
     ).filter(F.col("query_id") != F.col("neighbor_id")).select("query_id", "neighbor_id").distinct()
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
