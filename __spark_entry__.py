@@ -507,6 +507,7 @@ def q31_minhash_lsh(spark, sf_dir):
     # mapInPandas stage re-runs 4×. At cluster scale signatures are written
     # once as a narrow parquet column instead.
     sigs = dedup.minhash_signatures(d, "doc_id", "text").persist()
+    sigs.count()  # eager: both sides of the self-join hit a warm cache
     pairs = dedup.minhash_lsh_pairs(sigs)
     return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
 
@@ -539,10 +540,28 @@ def q41_lsh_verified_neardup(spark, sf_dir):
     # (token-set Jaccard) — char-shingle candidates would systematically
     # miss token-level near-dups (measured recall 0.02 before this).
     sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token").persist()
+    sigs.count()  # eager: both sides of the self-join hit a warm cache
     cands = dedup.minhash_lsh_pairs(sigs)
     return dedup.jaccard_verify_pairs(
         d, "doc_id", "text", cands, threshold=0.8
     ).orderBy("id_a", "id_b")
+
+
+def q42_dup_clusters(spark, sf_dir):
+    # Linear-output dedup for dense corpora: (doc_id, cluster_id) via
+    # min-label propagation over LSH band buckets — the 100 TB alternative
+    # to pairwise enumeration, whose output is Θ(Σ cluster²) rows (3M pairs
+    # on 5k synthetic docs here). Pinned by tests/test_lsh_quality.py
+    # against a union-find over the candidate pairs.
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token").persist()
+    sigs.count()
+    clusters = dedup.minhash_dup_clusters(sigs, iterations=3)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "cluster_id")
+    )
 
 
 def q34_media_features(spark, sf_dir):
@@ -598,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ann_lsh": q33_ann_lsh,
         "q34_media_features": q34_media_features,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
+        "q42_dup_clusters": q42_dup_clusters,
     }
 
 

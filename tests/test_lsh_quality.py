@@ -134,6 +134,74 @@ def test_q41_verified_neardup_recall_and_precision(spark):
     assert precision == 1.0, f"precision {precision}"
 
 
+def test_dup_clusters_match_union_find(spark, docs):
+    """minhash_dup_clusters (3 rounds of min-label propagation) must agree
+    with an exact union-find over the same LSH candidate pairs — i.e. the
+    linear-output operator computes the same partition the quadratic pair
+    enumeration implies."""
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", unit="token").persist()
+    pairs = dedup.minhash_lsh_pairs(sigs).toPandas()
+    got = {
+        r.id: r.cluster_id
+        for r in dedup.minhash_dup_clusters(sigs, iterations=3).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_ids = [r.id for r in sigs.select("id").collect()]
+    for i in all_ids:
+        find(i)
+    for r in pairs.itertuples():
+        union(r.id_a, r.id_b)
+    # canonical representative = min id of component
+    comp: dict = {}
+    for i in all_ids:
+        comp.setdefault(find(i), []).append(i)
+    expected = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            expected[i] = m
+
+    assert got == expected
+    sigs.unpersist()
+
+
+def test_hot_bucket_cap_bounds_pair_output(spark):
+    """100 identical docs → one bucket of 100 → 4,950 pairs uncapped.
+    With max_bucket_size=10 the bucket is skipped entirely (the documented
+    trade: massive dup families belong to exact dedup / clustering)."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(100)]
+    rows += [(200, "a genuinely unique document about spark physical plans"),
+             (201, "a genuinely unique document about spark physical planz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text").persist()
+
+    uncapped = dedup.minhash_lsh_pairs(sigs).count()
+    assert uncapped >= 100 * 99 / 2
+
+    capped = dedup.minhash_lsh_pairs(sigs, max_bucket_size=10).toPandas()
+    capped_pairs = set(zip(capped.id_a, capped.id_b))
+    assert (200, 201) in capped_pairs          # near-dup pair survives
+    assert len(capped_pairs) < 100             # hot bucket suppressed
+    # clustering still owns the big family, with linear output
+    clusters = dedup.minhash_dup_clusters(sigs, iterations=2).toPandas()
+    big = clusters[clusters.id < 100]
+    assert set(big.cluster_id) == {0}
+    sigs.unpersist()
+
+
 def test_ann_lsh_recall_clustered(spark):
     """Multi-table hyperplane LSH must reach recall ≥ 0.9 where embeddings
     have real neighbor structure (clusters with within-cluster cos ~0.9)."""

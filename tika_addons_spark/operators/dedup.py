@@ -151,14 +151,10 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
 
 
-def minhash_lsh_pairs(
-    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """LSH banding: explode (band, band-hash) keys, self-join per bucket.
-
-    Scale path: the join key is (band, hash-of-band-slice) so only
-    colliding docs meet — shuffle is proportional to candidates, not n²."""
-    banded = sigs.select(
+def _banded(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket): one row per LSH band, bucket = hash of the band's
+    signature slice. The (band, bucket) pair is the LSH collision key."""
+    return sigs.select(
         "id",
         F.posexplode(
             F.array(
@@ -177,6 +173,36 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: explode (band, band-hash) keys, self-join per bucket.
+
+    Scale path: the join key is (band, hash-of-band-slice) so only
+    colliding docs meet — shuffle is proportional to candidates, not n².
+
+    ``max_bucket_size`` is the hot-bucket guard for 100 TB runs: a
+    degenerate bucket with B members emits B²/2 pairs, so one
+    million-member bucket (boilerplate pages, empty docs sharing a
+    signature) turns the job quadratic. Buckets above the cap are skipped
+    — the documented recall trade: members of a skipped bucket are by
+    construction massive duplicate families, which the *exact* dedup pass
+    (sha256 groupBy) or :func:`minhash_dup_clusters` (linear output)
+    should own instead of pairwise enumeration."""
+    banded = _banded(sigs, n_bands, rows_per_band)
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -189,6 +215,63 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_dup_clusters(
+    sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    iterations: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (id, cluster_id) — the LINEAR-output
+    scale path for dense-duplicate corpora.
+
+    Pairwise near-dup enumeration is Θ(Σ cluster²): on a corpus where a
+    million documents share boilerplate, pair output alone is 10¹² rows.
+    Cluster assignment labels each doc with the minimum id reachable
+    through shared LSH buckets — ``iterations`` rounds of alternating
+    min-label propagation over the doc↔bucket bipartite graph (each round
+    = two shuffles; connected components of diameter ≤ iterations are
+    labeled exactly; deeper chains would need more rounds — at cluster
+    scale this is the large-star/small-star CC recipe).
+
+    Deterministic for a fixed ``iterations`` regardless of partitioning
+    (min is order-insensitive)."""
+    m = _banded(sigs, n_bands, rows_per_band).select(
+        "id", F.concat_ws("#", F.col("band").cast("string"), "bucket").alias("bkey")
+    )
+    if max_bucket_size is not None:
+        ok = (
+            m.groupBy("bkey")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("bkey")
+        )
+        m = m.join(ok, "bkey", "left_semi")
+    m = m.persist()
+
+    labels = sigs.select("id", F.col("id").alias("label"))
+    for _ in range(iterations):
+        bmin = (
+            m.join(labels, "id")
+            .groupBy("bkey")
+            .agg(F.min("label").alias("bmin"))
+        )
+        prop = (
+            m.join(bmin, "bkey")
+            .groupBy("id")
+            .agg(F.min("bmin").alias("nl"))
+        )
+        labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .persist()
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:

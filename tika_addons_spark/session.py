@@ -41,8 +41,12 @@ def get_spark(
         # match parallelism, not the 200 default: at sandbox scale 200
         # partitions means 6x scheduling overhead per shuffle; on a real
         # cluster this is set to ~2-3x total cores by the submitter.
-        n = master.split("[")[-1].rstrip("]") if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else max(int(n), 4)
+        # Robust parse: "local[8]" → 8; "local[*]", "local", "local[2,3]",
+        # "spark://..." → cpus.
+        import re as _re
+
+        m = _re.fullmatch(r"local\[(\d+)\]", master)
+        shuffle_partitions = max(int(m.group(1)), 4) if m else cpus
 
     builder = (
         SparkSession.builder.master(master)
