@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from tika_addons_spark.functions.sniff import sniff_col
 from tika_addons_spark.functions.stats import tokens_col
-from tika_addons_spark.operators import dedup, multimodal, similarity, textqual
+from tika_addons_spark.operators import archive, dedup, multimodal, similarity, textqual
 from tika_addons_spark.operators.extract import extract_turns
 
 SF001 = "/root/testdata/sf0.001"
@@ -529,6 +529,48 @@ def q33_ann_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q40_archive_member_rollup(spark, sf_dir):
+    # X10 end-to-end WITH an oracle: documents are deterministically
+    # decorated (doc_id mod → pdf/xml/html prefixes), packed into nested
+    # containers (inner per (source,lang), outer per source), then
+    # explode_members flattens outer→inner→leaf with per-member content
+    # re-sniff. Because the container format is lossless, leaf-type counts
+    # equal sniffed-type counts over the decorated originals — which IS the
+    # DuckDB oracle. Exercises: pack, nested unpack, re-sniff, numbering.
+    d = _t(spark, sf_dir, "documents")
+    dec = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("%PDF-1.4\n"), F.col("text"))
+        )
+        .when(
+            F.col("doc_id") % 11 == 1,
+            F.concat(F.lit('<?xml version="1.0"?>'), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 2, F.concat(F.lit("<html><body>"), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("grp", F.concat_ws("|", "source", "lang"))
+    inner = archive.pack_members(dec, "grp", "doc_id", "text", container_prefix="in")
+    outer = archive.pack_members(
+        inner.withColumn("src", F.substring_index("group_value", "|", 1)),
+        "src",
+        "container_id",
+        "payload",
+        container_prefix="out",
+    )
+    members = archive.explode_members(outer, ["container_id"], "payload", max_depth=3)
+    return (
+        members.groupBy(F.col("detected_type").alias("member_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("member_type")
+    )
+
+
 def q41_lsh_verified_neardup(spark, sf_dir):
     # End-to-end verified near-dup, the 100 TB shape: MinHash signatures →
     # LSH-bucket candidate pairs → exact token-set Jaccard verify on
@@ -616,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_simhash_pairs": q32_simhash_pairs,
         "q33_ann_lsh": q33_ann_lsh,
         "q34_media_features": q34_media_features,
+        "q40_archive_member_rollup": q40_archive_member_rollup,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
     }
@@ -920,6 +963,26 @@ _ORACLES: dict[str, str] = {
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         FROM labeled GROUP BY user_id, session_no
         ORDER BY user_id, session_no
+    """,
+    "q40_archive_member_rollup": """
+        WITH dec AS (
+          SELECT CASE
+                   WHEN doc_id % 11 = 0 THEN '%PDF-1.4' || chr(10) || text
+                   WHEN doc_id % 11 = 1 THEN '<?xml version="1.0"?>' || text
+                   WHEN doc_id % 11 = 2 THEN '<html><body>' || text
+                   ELSE text
+                 END AS t
+          FROM documents)
+        SELECT CASE
+                 WHEN t IS NULL OR length(t) = 0 THEN 'application/octet-stream'
+                 WHEN position('%PDF-' IN ltrim(t)) = 1 THEN 'application/pdf'
+                 WHEN ltrim(t) LIKE '<?xml%' THEN 'application/xml'
+                 WHEN lower(ltrim(t)) LIKE '<!doctype html%'
+                   OR lower(ltrim(t)) LIKE '<html%' THEN 'text/html'
+                 ELSE 'text/plain'
+               END AS member_type,
+               count(*) AS n
+        FROM dec GROUP BY member_type ORDER BY member_type
     """,
     "q38_embedding_near_dup": """
         WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
