@@ -571,6 +571,44 @@ def q40_archive_member_rollup(spark, sf_dir):
     )
 
 
+def q43_link_harvest(spark, sf_dir):
+    # X3: href harvest + deny-list + classification as pure column ops
+    # (GithubScraper.java:165-219). Synthetic per-doc HTML is built
+    # deterministically from doc_id so the oracle reproduces it in SQL.
+    from tika_addons_spark.functions import links
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><a href="/files/'),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit('">att</a> <a class="x" href="https://example.com/page/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">ext</a> '),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<a href="https://travis-ci.org/build/1">ci</a> '),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<a href="https://github.com/o/r/pull/12">pr</a> '),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<a href="https://github.com/o/r/tree/main">t</a> '),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    hrefs = links.harvest_hrefs(html)
+    kept = links.filter_denied(hrefs)
+    return d.select(
+        "doc_id",
+        F.size(hrefs).cast("long").alias("n_raw"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size(links.attachment_links(kept)).cast("long").alias("n_attach"),
+        F.size(links.external_links(kept)).cast("long").alias("n_external"),
+    ).orderBy("doc_id")
+
+
 def q41_lsh_verified_neardup(spark, sf_dir):
     # End-to-end verified near-dup, the 100 TB shape: MinHash signatures →
     # LSH-bucket candidate pairs → exact token-set Jaccard verify on
@@ -607,14 +645,42 @@ def q42_dup_clusters(spark, sf_dir):
 
 
 def q34_media_features(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
-    with_meta = multimodal.with_media_meta(media)
-    feats = multimodal.extract_media_features(with_meta)
-    return feats.select("id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    # Multimodal with a REAL kernel and a REAL oracle: deterministic
+    # PNG/GIF/JPEG/WAV bytes are synthesized per doc_id (public byte
+    # layouts), then the header parser reads type/dims/duration back from
+    # the bytes. Every output is a closed-form function of doc_id, so
+    # DuckDB can predict it without parsing — the engine must actually
+    # parse its own bytes correctly to match.
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = i % 4
+                if k == 0:
+                    p = multimodal.make_png(16 + i % 32, 8 + i % 16)
+                elif k == 1:
+                    p = multimodal.make_gif(10 + i % 20, 5 + i % 10)
+                elif k == 2:
+                    p = multimodal.make_jpeg(32 + i % 64, 16 + i % 32)
+                else:
+                    p = multimodal.make_wav(100 + (i % 50) * 10)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    heads = multimodal.parse_media_headers(media)
+    return heads.select(
+        F.col("id").alias("media_id"),
+        "media_type",
+        "width",
+        "height",
+        "duration_ms",
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -659,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ann_lsh": q33_ann_lsh,
         "q34_media_features": q34_media_features,
         "q40_archive_member_rollup": q40_archive_member_rollup,
+        "q43_link_harvest": q43_link_harvest,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
     }
@@ -983,6 +1050,66 @@ _ORACLES: dict[str, str] = {
                END AS member_type,
                count(*) AS n
         FROM dec GROUP BY member_type ORDER BY member_type
+    """,
+    "q34_media_features": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                               WHEN 1 THEN 'image/gif'
+                               WHEN 2 THEN 'image/jpeg'
+                               ELSE 'audio/wav' END AS media_type,
+               (CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 32
+                                WHEN 1 THEN 10 + doc_id % 20
+                                WHEN 2 THEN 32 + doc_id % 64 END)::INT AS width,
+               (CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 16
+                                WHEN 1 THEN 5 + doc_id % 10
+                                WHEN 2 THEN 16 + doc_id % 32 END)::INT AS height,
+               (CASE WHEN doc_id % 4 = 3
+                     THEN 100 + (doc_id % 50) * 10 END)::BIGINT AS duration_ms
+        FROM documents ORDER BY media_id
+    """,
+    "q43_link_harvest": """
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><body><a href="/files/' || (doc_id % 97)::VARCHAR ||
+                 '">att</a> <a class="x" href="https://example.com/page/' ||
+                 doc_id::VARCHAR || '">ext</a> ' ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN '<a href="https://travis-ci.org/build/1">ci</a> '
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN '<a href="https://github.com/o/r/pull/12">pr</a> '
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN '<a href="https://github.com/o/r/tree/main">t</a> '
+                      ELSE '' END ||
+                 '</body></html>' AS html
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 list_distinct(regexp_extract_all(
+                   html, '<a [^>]*href="([^"]+)"[^>]*>', 1)) AS hrefs
+          FROM h),
+        k AS (
+          SELECT doc_id, hrefs,
+                 list_filter(hrefs, l -> NOT (
+                   contains(l, 'opensource.guide') OR
+                   contains(l, 'travis-ci.org') OR
+                   contains(l, 'gist.github') OR
+                   contains(l, 'github.com/notifications') OR
+                   regexp_matches(l, '/pull/[0-9]+') OR
+                   (contains(l, 'github.com') AND
+                    (contains(l, '/commit/') OR contains(l, '/tree/')))
+                 )) AS kept
+          FROM x)
+        SELECT doc_id,
+               len(hrefs)::BIGINT AS n_raw,
+               len(kept)::BIGINT AS n_kept,
+               len(list_filter(kept, l -> regexp_matches(l, '/files/[0-9]+')))::BIGINT
+                 AS n_attach,
+               len(list_filter(kept, l ->
+                 (l LIKE 'http:%' OR l LIKE 'https:%')
+                 AND NOT regexp_matches(l, '/files/[0-9]+')))::BIGINT AS n_external
+        FROM k ORDER BY doc_id
     """,
     "q38_embedding_near_dup": """
         WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)

@@ -109,6 +109,44 @@ def test_lsh_ann_recall_at_1(vectors):
     assert top and top[0].neighbor_id == 1
 
 
+def test_media_sniff_parity_python_vs_column(spark):
+    """sniff_media (pure Python) and with_media_meta (generated JVM column
+    branches) must agree on every _MAGIC entry + unknown + None."""
+    payloads = [
+        multimodal.make_png(4, 4),
+        multimodal.make_jpeg(4, 4),
+        multimodal.make_gif(4, 4),
+        multimodal.make_wav(10),
+        b"ID3\x04fake mp3 tag",
+        b"\x00\x00\x00 ftypisommp4ish",
+        b"plain bytes",
+        None,
+    ]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    col_types = {
+        r.media_id: r.media_meta.media_type
+        for r in multimodal.with_media_meta(df).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert col_types[i] == multimodal.sniff_media(p), (i, p)
+
+
+def test_media_header_parsers():
+    h = multimodal.parse_media_header(multimodal.make_png(640, 480))
+    assert (h["media_type"], h["width"], h["height"]) == ("image/png", 640, 480)
+    h = multimodal.parse_media_header(multimodal.make_gif(320, 200))
+    assert (h["media_type"], h["width"], h["height"]) == ("image/gif", 320, 200)
+    h = multimodal.parse_media_header(multimodal.make_jpeg(1024, 768))
+    assert (h["media_type"], h["width"], h["height"]) == ("image/jpeg", 1024, 768)
+    h = multimodal.parse_media_header(multimodal.make_wav(1500))
+    assert (h["media_type"], h["duration_ms"]) == ("audio/wav", 1500)
+    # malformed: truncated PNG keeps type, null dims; never throws
+    h = multimodal.parse_media_header(b"\x89PNG\r\n\x1a\nIH")
+    assert h["media_type"] == "image/png" and h["width"] is None
+    assert multimodal.parse_media_header(None)["media_type"] == "application/octet-stream"
+
+
 def test_multimodal_meta_and_stub(spark):
     rows = [
         (1, b"\x89PNG\r\n fake png bytes"),

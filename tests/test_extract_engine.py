@@ -87,6 +87,38 @@ def test_spans_equal_oracle(spark, transcripts_df, transcripts_pdf):
         assert got_norm == exp["spans"], (r["conv_id"], r["turn_idx"])
 
 
+def test_engine_equals_oracle_nested_cols(spark, transcripts_df, transcripts_pdf):
+    """Full-corpus gate over the nested/ordered fields the scalar gate
+    misses: meta (map, key-sorted), warnings (exact order), spans (exact
+    order+offsets), n_pages. A vectorized-path divergence in any of these
+    now fails loudly."""
+    actual = (
+        extract_turns(transcripts_df)
+        .select("conv_id", "turn_idx", "meta", "warnings", "spans", "n_pages")
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    assert len(actual) == len(transcripts_pdf)
+    n_checked = 0
+    for _, r in transcripts_pdf.iterrows():
+        exp = extract_one(r["text"] if isinstance(r["text"], str) else None)
+        got = actual.loc[(r["conv_id"], int(r["turn_idx"]))]
+        assert sorted((got["meta"] or {}).items()) == sorted(exp["meta"].items()), (
+            r["conv_id"], r["turn_idx"],
+        )
+        assert list(got["warnings"]) == exp["warnings"], (r["conv_id"], r["turn_idx"])
+        got_spans = [
+            {"kind": s["kind"], "start": s["start"], "end": s["end"]}
+            for s in got["spans"]
+        ]
+        assert got_spans == exp["spans"], (r["conv_id"], r["turn_idx"])
+        got_np = None if pd.isna(got["n_pages"]) else int(got["n_pages"])
+        assert got_np == exp["n_pages"], (r["conv_id"], r["turn_idx"])
+        n_checked += 1
+    assert n_checked == len(transcripts_pdf)
+
+
 def test_invariance_shuffle_partitions_and_salt(spark, transcripts_df):
     base = extract_turns(transcripts_df).orderBy("conv_id", "turn_idx")
     base_pdf = base.select(*GATE_COLS).toPandas()

@@ -97,3 +97,36 @@ def test_strip_json_suffix(spark):
     df = spark.createDataFrame([("doc.pdf.json",), ("doc.pdf",)], "s string")
     got = [r[0] for r in df.select(dp.strip_json_suffix(F.col("s"))).collect()]
     assert got == ["doc.pdf", "doc.pdf"]
+
+
+def test_link_harvest_deny_and_classify(spark):
+    from tika_addons_spark.functions import links
+
+    html = (
+        '<p><a href="/files/123">att</a>'
+        '<a class="z" href="/files/123">dup att</a>'
+        '<a href="https://example.com/x">ext</a>'
+        '<a href="https://travis-ci.org/b/1">denied host</a>'
+        '<a href="https://github.com/o/r/pull/9">denied pull</a>'
+        '<a href="https://github.com/o/r/tree/main">denied tree</a>'
+        '<a href="https://github.com/o/r/issues/4">kept gh</a>'
+        '<a href="/relative/page">kept rel</a></p>'
+    )
+    df = spark.createDataFrame([(html,)], "t string")
+    hrefs = links.harvest_hrefs(F.col("t"))
+    kept = links.filter_denied(hrefs)
+    row = df.select(
+        hrefs.alias("raw"),
+        kept.alias("kept"),
+        links.attachment_links(kept).alias("att"),
+        links.external_links(kept).alias("ext"),
+    ).collect()[0]
+    assert row.raw[0] == "/files/123" and len(row.raw) == 7  # dedup
+    assert set(row.kept) == {
+        "/files/123",
+        "https://example.com/x",
+        "https://github.com/o/r/issues/4",
+        "/relative/page",
+    }
+    assert row.att == ["/files/123"]
+    assert set(row.ext) == {"https://example.com/x", "https://github.com/o/r/issues/4"}

@@ -21,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..schema import CHECKPOINT_SCHEMA, TRANSCRIPTS_SCHEMA
 
@@ -96,9 +97,14 @@ def append_checkpoint(df: DataFrame, ckpt: str) -> None:
 
 def read_checkpoint(spark: SparkSession, ckpt: str) -> DataFrame:
     if _is_path(ckpt):
-        if not os.path.exists(ckpt):
+        # existence via the read itself, not os.path: a driver-local exists()
+        # check is wrong for s3://, hdfs://... URIs — an existing remote
+        # checkpoint would silently read as empty and resume would redo all
+        # buckets (and double-write the output).
+        try:
+            return spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt)
+        except AnalysisException:
             return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt)
     return spark.read.table(ckpt)
 
 
