@@ -627,6 +627,24 @@ def q41_lsh_verified_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q44_lang_detect(spark, sf_dir):
+    # X12 full capability: probing char-trigram detector (chunked probes,
+    # early stop, ranked (lang, conf) list — ProbingLanguageDetector
+    # semantics). Not SQL-expressible (n-gram model scoring) → rows-only
+    # here; accuracy/probing behavior pinned by tests/test_langid.py.
+    from tika_addons_spark.functions import langid
+
+    d = _t(spark, sf_dir, "documents")
+    det = langid.detect_languages_df(d, "doc_id", "text")
+    top = det.select(F.element_at("langs", 1).alias("top"))
+    return (
+        top.select(F.col("top.lang").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "lang")
+    )
+
+
 def q42_dup_clusters(spark, sf_dir):
     # Linear-output dedup for dense corpora: (doc_id, cluster_id) via
     # min-label propagation over LSH band buckets — the 100 TB alternative
@@ -728,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_link_harvest": q43_link_harvest,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
+        "q44_lang_detect": q44_lang_detect,
     }
 
 

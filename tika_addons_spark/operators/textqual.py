@@ -102,9 +102,12 @@ def oov_stats(text_col: str, common_words: list[str] | None = None) -> dict[str,
 
 
 def lang_guess(text_col: str) -> Column:
-    """Cheap stopword-vote language ID (the probing-detector's n-gram scoring
-    reduced to marker-word hits; X12 analogue). Deterministic tie-break by
-    language code order."""
+    """Cheap stopword-vote language ID — the SQL-oracle-able column variant
+    (deterministic tie-break by language code order). The full X12
+    capability — probing char-trigram detection with chunked probes, early
+    stop and ranked (lang, conf) output per ProbingLanguageDetector — lives
+    in ``functions/langid.py`` (q44); this stays as the JVM-side fast path
+    for partition routing and oracled queries (q24)."""
     toks = F.array_distinct(tokens_col(text_col))
     scores = [
         (
