@@ -627,6 +627,39 @@ def q41_lsh_verified_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+_STACK0 = (
+    "java.io.IOException: read failed\n"
+    "\tat org.example.Reader.read(Reader.java:42)\n"
+    "Caused by: java.net.SocketException: connection reset"
+)
+_STACK1 = (
+    "java.lang.RuntimeException: boom\n"
+    "\tat org.example.App.main(App.java:7)\n"
+    "Caused by: java.io.FileNotFoundException: /tmp/x\n"
+    "Caused by: java.lang.IllegalStateException: closed"
+)
+
+
+def q45_stacktrace_facets(spark, sf_dir):
+    # F17: stacktrace normalize → facet (handleStackTrace +
+    # EvalExceptionUtils.normalize semantics: drop messages/frames, keep the
+    # exception-class chain so equal failure shapes group together).
+    from tika_addons_spark.functions.normalize import stacktrace_facet_col
+
+    e = _t(spark, sf_dir, "events")
+    st = (
+        F.when(F.col("user_id") % 3 == 0, F.lit(_STACK0))
+        .when(F.col("user_id") % 3 == 1, F.lit(_STACK1))
+        .otherwise(F.lit(""))
+    )
+    return (
+        e.select(F.coalesce(stacktrace_facet_col(st), F.lit("none")).alias("facet"))
+        .groupBy("facet")
+        .agg(F.count("*").alias("n"))
+        .orderBy("facet")
+    )
+
+
 def q44_lang_detect(spark, sf_dir):
     # X12 full capability: probing char-trigram detector (chunked probes,
     # early stop, ranked (lang, conf) list — ProbingLanguageDetector
@@ -747,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
         "q44_lang_detect": q44_lang_detect,
+        "q45_stacktrace_facets": q45_stacktrace_facets,
     }
 
 
@@ -1069,6 +1103,27 @@ _ORACLES: dict[str, str] = {
                END AS member_type,
                count(*) AS n
         FROM dec GROUP BY member_type ORDER BY member_type
+    """,
+    "q45_stacktrace_facets": """
+        WITH s AS (
+          SELECT CASE user_id % 3
+                   WHEN 0 THEN e'java.io.IOException: read failed\\n\\tat org.example.Reader.read(Reader.java:42)\\nCaused by: java.net.SocketException: connection reset'
+                   WHEN 1 THEN e'java.lang.RuntimeException: boom\\n\\tat org.example.App.main(App.java:7)\\nCaused by: java.io.FileNotFoundException: /tmp/x\\nCaused by: java.lang.IllegalStateException: closed'
+                   ELSE '' END AS st
+          FROM events),
+        f AS (
+          SELECT array_to_string(
+                   list_filter(
+                     list_prepend(
+                       regexp_extract(st, '^([\\w$.]+(?:Exception|Error))', 1),
+                       regexp_extract_all(st, 'Caused by: ([\\w$.]+)', 1)),
+                     x -> x <> ''),
+                   ' -> ') AS facet_raw
+          FROM s)
+        SELECT CASE WHEN facet_raw IS NULL OR facet_raw = ''
+                    THEN 'none' ELSE facet_raw END AS facet,
+               count(*) AS n
+        FROM f GROUP BY facet ORDER BY facet
     """,
     "q34_media_features": """
         SELECT doc_id AS media_id,

@@ -130,3 +130,19 @@ def test_link_harvest_deny_and_classify(spark):
     }
     assert row.att == ["/files/123"]
     assert set(row.ext) == {"https://example.com/x", "https://github.com/o/r/issues/4"}
+
+
+def test_read_jdbc_seam_reaches_jdbc_layer(spark):
+    """No JDBC driver jar ships in the sandbox, so the live read can't run;
+    the seam test asserts the call is wired through to Spark's JDBC layer
+    (which rejects it for want of a driver, not for a bad plan)."""
+    import pytest as _pytest
+
+    from tika_addons_spark.sources import sinks
+
+    with _pytest.raises(Exception, match="(?i)driver|jdbc"):
+        sinks.read_jdbc(
+            spark, "jdbc:postgresql://nohost/db", "t",
+            partition_column="id", lower_bound=0, upper_bound=100,
+            num_partitions=4,
+        )

@@ -117,3 +117,29 @@ def strip_non_alpha_col(c: Column) -> Column:
 
 def clean_for_sink_col(c: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(c, "\x00", ""), "[\\t\\r\\n]", " ")
+
+
+# ---------------------------------------------------------------------------
+# F17 — stacktrace normalize → facet
+# (reference: TikaEvalDocMapper.java:208-218 handleStackTrace →
+# tika-eval's EvalExceptionUtils.normalize: strip per-exception messages,
+# keep the exception-class chain so equal failure *shapes* facet together)
+# ---------------------------------------------------------------------------
+STACK_HEAD_RE = r"^([\w$.]+(?:Exception|Error))"
+CAUSED_BY_RE = r"Caused by: ([\w$.]+)"
+
+
+def stacktrace_facet_col(c: Column) -> Column:
+    """Exception-class chain of a stack-trace string, ' -> '-joined:
+    'java.io.IOException -> java.net.SocketException'. NULL/blank in →
+    NULL out (handleStackTrace's isBlank guard); pure column expressions,
+    DuckDB-expressible (q45)."""
+    head = F.regexp_extract(c, STACK_HEAD_RE, 1)
+    causes = F.regexp_extract_all(c, F.lit(CAUSED_BY_RE), F.lit(1))
+    chain = F.filter(
+        F.concat(F.array(head), causes), lambda x: x != F.lit("")
+    )
+    return F.when(
+        c.isNull() | (F.length(F.trim(c)) == 0) | (F.size(chain) == 0),
+        F.lit(None).cast("string"),
+    ).otherwise(F.concat_ws(" -> ", chain))

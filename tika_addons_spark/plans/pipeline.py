@@ -130,12 +130,16 @@ def run_extraction(
         catalog.write_extracted(out, target)
         wave_totals = obs.get
 
-        # per-bucket lineage from the just-committed wave (columnar re-read
-        # of the small metric columns only — no second extraction pass).
-        stats = (
+        # per-bucket lineage from the just-committed wave: ONE columnar
+        # re-read (small metric columns only — no second extraction pass),
+        # aggregated at (bucket, content_type) grain first so the SAME pass
+        # yields both the scalar stats (sums of the partials) and the exact
+        # content-type histogram. Previously this was two full reads of the
+        # wave output plus a join.
+        per_type = (
             catalog.read_extracted(spark, target)
             .filter(F.col("bucket").isin(wave_buckets))
-            .groupBy("bucket")
+            .groupBy("bucket", "detected_content_type")
             .agg(
                 F.count("*").alias("n_turns"),
                 F.sum("chars_in").alias("chars_in"),
@@ -145,27 +149,22 @@ def run_extraction(
                 ).alias("n_parse_failures"),
             )
         )
-        # content_types: histogram per bucket (two-level agg keeps it exact)
-        hist = (
-            catalog.read_extracted(spark, target)
-            .filter(F.col("bucket").isin(wave_buckets))
-            .groupBy("bucket", "detected_content_type")
-            .count()
-            .groupBy("bucket")
-            .agg(
-                F.map_from_entries(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("detected_content_type", F.col("count"))
-                        )
+        stats = per_type.groupBy("bucket").agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.sum("n_parse_failures").alias("n_parse_failures"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("detected_content_type", F.col("n_turns"))
                     )
-                ).alias("content_types")
-            )
+                )
+            ).alias("content_types"),
         )
         finished = dt.datetime.now(dt.timezone.utc)
         ckpt_rows = (
-            stats.join(hist, "bucket")
-            .select(
+            stats.select(
                 F.lit(run_id).alias("run_id"),
                 F.concat(F.lit("bucket="), F.col("bucket")).alias("partition_key"),
                 F.lit("completed").alias("status"),

@@ -84,3 +84,35 @@ def read_tsv(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **opts,
+) -> DataFrame:
+    """S6 — JDBC source (reference: eval-addons/.../DBCopier.java:68-105
+    copies a whole JDBC table through a cursor; Spark-first that's a
+    parallel partitioned read).
+
+    For anything beyond a toy table pass the 4 partitioning options —
+    a JDBC read without them is a SINGLE task holding one cursor, which at
+    100 TB is both a driver-side bottleneck and a DB-side timeout. No
+    driver jar ships in this sandbox, so this seam is exercised by plan
+    construction only (tests assert the option wiring, not a live DB)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
