@@ -4,10 +4,17 @@ Five variants, each designed scale-first (the candidate-generation step is
 always a bucket equi-join, never an O(n²) cross join over the corpus):
 
 - exact:       sha256(text) groupBy — one shuffle, map-side combine.
-- minhash_lsh: shingles → minhash signature → bands → bucket self-join.
+- minhash_lsh: shingles → minhash signature → bands → bucket self-join
+               (optional hot-bucket cap for degenerate buckets).
+- jaccard_verify_pairs: exact Jaccard on LSH candidates only — verified
+               near-dup with no O(n²) join at any grain.
+- minhash_dup_clusters: (id, cluster_id) via min-label propagation —
+               LINEAR output for dense-duplicate corpora where pairwise
+               enumeration is Θ(Σ cluster²).
 - simhash:     64-bit sign-vote fingerprint → Hamming-ball candidate pairs
-               via rotated-prefix bucketing.
-- ngram_jaccard: token-set Jaccard verified on blocked candidate pairs.
+               via pigeonhole block bucketing (max_hamming+1 blocks).
+- ngram_jaccard: token-set Jaccard on natural-key-blocked pairs (the
+               SQL-oracle-able variant).
 - (embedding cosine near-dup lives in operators/similarity.py)
 
 The reference's only dedup is Set-based exact key dedup
@@ -432,7 +439,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard over candidate pairs blocked on ``block_col``
     (language, domain, length bucket...). The block join bounds the pair
-    count; at scale block on an LSH bucket instead of a natural key."""
+    count but is O(n²) *within* a block — kept because it is fully
+    SQL-expressible (the q20 oracle). The scale path is
+    :func:`jaccard_verify_pairs` over :func:`minhash_lsh_pairs` candidates
+    (q41), where no all-pairs join exists at any grain."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
