@@ -627,6 +627,39 @@ def q41_lsh_verified_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q46_extension_fix_audit(spark, sf_dir):
+    # X11: extension fixing by content detection with an audit trail
+    # (Step2ExtensionFixer decision order: DONT_CHANGE guard, normed
+    # lowercase/blank-if-long, reliable-detection ext, fallback, keep on
+    # equality/blank). Paths and contents are synthesized deterministically
+    # from doc_id so DuckDB mirrors the decision exactly.
+    from tika_addons_spark.functions.datetime_path import fix_extension_cols
+
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("docs/f"),
+        F.col("doc_id").cast("string"),
+        F.element_at(
+            F.array(
+                F.lit(".dat"), F.lit(".pdf"), F.lit(".TXT"),
+                F.lit(".svg"), F.lit(".verylong"), F.lit(""),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        ),
+    )
+    text = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("%PDF-1.4\n"), F.col("text"))
+    ).otherwise(F.col("text"))
+    cols = fix_extension_cols(path, sniff_col(text))
+    return d.select(
+        "doc_id",
+        cols["orig_ext"].alias("orig_ext"),
+        sniff_col(text).alias("detected"),
+        cols["new_ext"].alias("new_ext"),
+        cols["action"].alias("action"),
+    ).orderBy("doc_id")
+
+
 _STACK0 = (
     "java.io.IOException: read failed\n"
     "\tat org.example.Reader.read(Reader.java:42)\n"
@@ -781,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_dup_clusters": q42_dup_clusters,
         "q44_lang_detect": q44_lang_detect,
         "q45_stacktrace_facets": q45_stacktrace_facets,
+        "q46_extension_fix_audit": q46_extension_fix_audit,
     }
 
 
@@ -1208,6 +1242,50 @@ _ORACLES: dict[str, str] = {
         FROM cell GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+def _q46_oracle() -> str:
+    # DONT_CHANGE list injected from the single source of truth so the
+    # oracle can never drift from the engine's decision table
+    from tika_addons_spark.functions.datetime_path import DONT_CHANGE_ORIG_EXT
+
+    dont = ", ".join(f"'{e}'" for e in sorted(DONT_CHANGE_ORIG_EXT))
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CASE doc_id % 6 WHEN 0 THEN '.dat' WHEN 1 THEN '.pdf'
+                                 WHEN 2 THEN '.TXT' WHEN 3 THEN '.svg'
+                                 WHEN 4 THEN '.verylong' ELSE '' END AS orig,
+                 CASE WHEN doc_id % 2 = 0 THEN 'application/pdf'
+                      ELSE 'text/plain' END AS det
+          FROM documents),
+        c AS (
+          SELECT doc_id, orig, det,
+                 CASE WHEN orig = '' OR length(orig) > 6 THEN ''
+                      ELSE lower(orig) END AS normed,
+                 CASE det WHEN 'application/pdf' THEN '.pdf'
+                          WHEN 'application/xml' THEN '.xml'
+                          WHEN 'text/html' THEN '.html'
+                          ELSE '' END AS tika
+          FROM b),
+        d AS (
+          SELECT doc_id, orig, det, normed,
+                 CASE WHEN normed IN ({dont}) THEN normed
+                      WHEN tika <> '' THEN tika
+                      ELSE normed END AS base
+          FROM c)
+        SELECT doc_id, orig AS orig_ext, det AS detected,
+               CASE WHEN orig IN ({dont}) OR base = orig
+                         OR base = '' OR base = '.'
+                    THEN orig ELSE base END AS new_ext,
+               CASE WHEN orig IN ({dont}) OR base = orig
+                         OR base = '' OR base = '.'
+                    THEN 'keep' ELSE 'rename' END AS action
+        FROM d ORDER BY doc_id
+    """
+
+
+_ORACLES["q46_extension_fix_audit"] = _q46_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
