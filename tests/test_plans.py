@@ -78,3 +78,59 @@ def test_partial_aggregation_before_shuffle(spark):
     df = entry.q01_pricing_summary(spark, SF)
     p = plan_of(df)
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_lsh_pair_join_is_not_cartesian(spark):
+    """q41's candidate generation must be a bucket equi-join — any
+    Cartesian/BroadcastNestedLoop in the pair plan means the LSH key
+    degraded to a cross join."""
+    from tika_addons_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token")
+    pairs = dedup.minhash_lsh_pairs(sigs)
+    p = plan_of(pairs)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dup_clusters_linear_plan(spark):
+    """q42: no self-join of the banded membership anywhere — the cluster
+    path aggregates per bucket instead of enumerating pairs."""
+    from tika_addons_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token")
+    clusters = dedup.minhash_dup_clusters(sigs, iterations=2)
+    p = plan_of(clusters)
+    assert "CartesianProduct" not in p, p
+
+
+def test_archive_explode_single_python_stage(spark):
+    """q40's unpack is ONE mapInPandas stage over the packed containers —
+    no shuffle between pack output and member explode."""
+    from tika_addons_spark.operators import archive
+
+    df = spark.createDataFrame(
+        [("c1", archive.make_archive("c1", [("a", "x")]))],
+        "container_id string, payload string",
+    )
+    p = plan_of(archive.explode_members(df, ["container_id"], "payload"))
+    assert p.count("MapInPandas") == 1, p
+    assert "Exchange" not in p, "explode must not shuffle"
+
+
+def test_link_harvest_stays_jvm_side(spark):
+    """q43 is pure column expressions: zero Python operators in the plan."""
+    df = entry.q43_link_harvest(spark, SF)
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_extension_fix_stays_jvm_side(spark):
+    df = entry.q46_extension_fix_audit(spark, SF)
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
