@@ -146,3 +146,14 @@ def test_read_jdbc_seam_reaches_jdbc_layer(spark):
             partition_column="id", lower_bound=0, upper_bound=100,
             num_partitions=4,
         )
+
+
+def test_extension_allowlist_predicate(spark):
+    df = spark.createDataFrame(
+        [("a/b.PDF",), ("c/d.tar.gz",), ("e/f.exe",), ("noext",)], "p string"
+    )
+    got = [
+        r[0]
+        for r in df.select(dp.extension_allowed(F.col("p"), {"pdf", "tgz"})).collect()
+    ]
+    assert got == [True, True, False, False]

@@ -122,3 +122,11 @@ def fix_extension_cols(path_col: Column, detected_col: Column) -> dict[str, Colu
         "new_ext": F.when(keep, orig).otherwise(base),
         "action": F.when(keep, F.lit("keep")).otherwise(F.lit("rename")),
     }
+
+
+def extension_allowed(path_col: Column, allowed: set[str] | list[str]) -> Column:
+    """P4 — extension allow-list predicate (reference idiom: scrapers keep
+    only attachment types they can parse; e.g. GithubScraper's
+    externalExtensions set). Case-insensitive, '.tar.gz' counts as 'tgz'."""
+    allow = F.array(*[F.lit(a.lower().lstrip(".")) for a in sorted(set(allowed))])
+    return F.array_contains(allow, file_extension(path_col))
