@@ -502,14 +502,17 @@ def q30_extract_documents(spark, sf_dir):
 
 def q31_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    # persist: the signature UDF feeds four plan branches (both sides of the
-    # LSH self-join + both sides of the estimate join) — without it the
-    # mapInPandas stage re-runs 4×. At cluster scale signatures are written
-    # once as a narrow parquet column instead.
+    # persist: the signature UDF feeds both sides of the banded self-join —
+    # without it the mapInPandas stage re-runs. At cluster scale signatures
+    # are written once as a narrow parquet column instead.
     sigs = dedup.minhash_signatures(d, "doc_id", "text").persist()
     sigs.count()  # eager: both sides of the self-join hit a warm cache
-    pairs = dedup.minhash_lsh_pairs(sigs)
-    return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
+    # signatures ride through the self-join: one join, one distinct, no
+    # re-join of sigs (this was the bench suite's wall-clock outlier)
+    res = dedup.minhash_lsh_estimated_pairs(sigs).orderBy("id_a", "id_b").persist()
+    res.count()  # materialize, then release the big signature cache
+    sigs.unpersist()
+    return res
 
 
 def q32_simhash_pairs(spark, sf_dir):
@@ -596,10 +599,21 @@ def q43_link_harvest(spark, sf_dir):
             F.col("doc_id") % 7 == 0,
             F.lit('<a href="https://github.com/o/r/tree/main">t</a> '),
         ).otherwise(F.lit("")),
+        # the github.com attr rule (GithubScraper.java:188-198): same host,
+        # but the first carries a class attr (dropped), the second is a bare
+        # href (kept)
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<a class="nav" href="https://github.com/o/r/issues/5">i</a> '),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.lit('<a href="https://github.com/o/r/issues/7">ok</a> '),
+        ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
     hrefs = links.harvest_hrefs(html)
-    kept = links.filter_denied(hrefs)
+    kept = links.harvest_kept_hrefs(html)
     return d.select(
         "doc_id",
         F.size(hrefs).cast("long").alias("n_raw"),
@@ -622,9 +636,14 @@ def q41_lsh_verified_neardup(spark, sf_dir):
     sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token").persist()
     sigs.count()  # eager: both sides of the self-join hit a warm cache
     cands = dedup.minhash_lsh_pairs(sigs)
-    return dedup.jaccard_verify_pairs(
-        d, "doc_id", "text", cands, threshold=0.8
-    ).orderBy("id_a", "id_b")
+    res = (
+        dedup.jaccard_verify_pairs(d, "doc_id", "text", cands, threshold=0.8)
+        .orderBy("id_a", "id_b")
+        .persist()
+    )
+    res.count()  # materialize, then release the signature cache
+    sigs.unpersist()
+    return res
 
 
 def q46_extension_fix_audit(spark, sf_dir):
@@ -721,11 +740,15 @@ def q42_dup_clusters(spark, sf_dir):
     sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token").persist()
     sigs.count()
     clusters = dedup.minhash_dup_clusters(sigs, iterations=3)
-    return (
+    res = (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").cast("long").alias("n_members"))
         .orderBy(F.desc("n_members"), "cluster_id")
+        .persist()
     )
+    res.count()  # materialize (dup_clusters already materialized labels)
+    sigs.unpersist()
+    return res
 
 
 def q34_media_features(spark, sf_dir):
@@ -1190,24 +1213,39 @@ _ORACLES: dict[str, str] = {
                  CASE WHEN doc_id % 7 = 0
                       THEN '<a href="https://github.com/o/r/tree/main">t</a> '
                       ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 0
+                      THEN '<a class="nav" href="https://github.com/o/r/issues/5">i</a> '
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 9 = 0
+                      THEN '<a href="https://github.com/o/r/issues/7">ok</a> '
+                      ELSE '' END ||
                  '</body></html>' AS html
           FROM documents),
         x AS (
           SELECT doc_id,
                  list_distinct(regexp_extract_all(
-                   html, '<a [^>]*href="([^"]+)"[^>]*>', 1)) AS hrefs
+                   html, '<a [^>]*href="([^"]+)"[^>]*>', 1)) AS hrefs,
+                 list_zip(
+                   regexp_extract_all(html, '<a ([^>]*)href="([^"]+)([^>]*)"?>', 1),
+                   regexp_extract_all(html, '<a ([^>]*)href="([^"]+)([^>]*)"?>', 2),
+                   regexp_extract_all(html, '<a ([^>]*)href="([^"]+)([^>]*)"?>', 3)
+                 ) AS tags
           FROM h),
         k AS (
           SELECT doc_id, hrefs,
-                 list_filter(hrefs, l -> NOT (
-                   contains(l, 'opensource.guide') OR
-                   contains(l, 'travis-ci.org') OR
-                   contains(l, 'gist.github') OR
-                   contains(l, 'github.com/notifications') OR
-                   regexp_matches(l, '/pull/[0-9]+') OR
-                   (contains(l, 'github.com') AND
-                    (contains(l, '/commit/') OR contains(l, '/tree/')))
-                 )) AS kept
+                 list_distinct(list_transform(
+                   list_filter(tags, t -> NOT (
+                     contains(t[2], 'opensource.guide') OR
+                     contains(t[2], 'travis-ci.org') OR
+                     contains(t[2], 'gist.github') OR
+                     contains(t[2], 'github.com/notifications') OR
+                     regexp_matches(t[2], '/pull/[0-9]+') OR
+                     (contains(t[2], 'github.com') AND
+                      (contains(t[2], '/commit/') OR contains(t[2], '/tree/') OR
+                       trim(t[1]) <> '' OR
+                       regexp_replace(t[3], '[\\s"]', '', 'g') <> ''))
+                   )),
+                   t -> t[2])) AS kept
           FROM x)
         SELECT doc_id,
                len(hrefs)::BIGINT AS n_raw,
@@ -1256,7 +1294,17 @@ def _q46_oracle() -> str:
                  CASE doc_id % 6 WHEN 0 THEN '.dat' WHEN 1 THEN '.pdf'
                                  WHEN 2 THEN '.TXT' WHEN 3 THEN '.svg'
                                  WHEN 4 THEN '.verylong' ELSE '' END AS orig,
-                 CASE WHEN doc_id % 2 = 0 THEN 'application/pdf'
+                 -- mirrors sniff_col over the engine's input exactly:
+                 -- even ids get a '%PDF-' prefix (NULL text stays NULL
+                 -- through concat → octet-stream); odd ids sniff raw text
+                 CASE WHEN text IS NULL THEN 'application/octet-stream'
+                      WHEN doc_id % 2 = 0 THEN 'application/pdf'
+                      WHEN length(text) = 0 THEN 'application/octet-stream'
+                      WHEN position('%PDF-' IN ltrim(text)) = 1
+                        THEN 'application/pdf'
+                      WHEN ltrim(text) LIKE '<?xml%' THEN 'application/xml'
+                      WHEN lower(ltrim(text)) LIKE '<!doctype html%'
+                        OR lower(ltrim(text)) LIKE '<html%' THEN 'text/html'
                       ELSE 'text/plain' END AS det
           FROM documents),
         c AS (

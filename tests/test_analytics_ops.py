@@ -69,6 +69,19 @@ def test_simhash_near_pairs(spark, docs):
     assert got2.get((0, 1)) == 0
 
 
+def test_simhash_near_pairs_hamming_zero(spark, docs):
+    # max_hamming=0 → a single 64-bit block; candidates are exact simhash
+    # equality (regression: the 64-bit mask used to overflow Spark's long
+    # literal at plan build)
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(sigs, max_hamming=0).collect()
+    }
+    assert got.get((0, 1)) == 0  # identical texts
+    assert all(h == 0 for h in got.values())
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}

@@ -132,6 +132,27 @@ def test_link_harvest_deny_and_classify(spark):
     assert set(row.ext) == {"https://example.com/x", "https://github.com/o/r/issues/4"}
 
 
+def test_link_harvest_github_attr_rule(spark):
+    """GithubScraper.java:188-198 — github.com hrefs whose <a> tag carries
+    non-blank attrs before or after the href are navigation, not content;
+    non-github hrefs keep their attrs."""
+    from tika_addons_spark.functions import links
+
+    html = (
+        '<a class="nav" href="https://github.com/o/r/issues/5">pre attr</a>'
+        '<a href="https://github.com/o/r/issues/6" rel="x">post attr</a>'
+        '<a href="https://github.com/o/r/issues/7">bare kept</a>'
+        '<a class="z" href="https://example.com/x">non-gh attr kept</a>'
+        '<a href="https://github.com/o/r/tree/main">tree denied</a>'
+    )
+    df = spark.createDataFrame([(html,)], "t string")
+    row = df.select(links.harvest_kept_hrefs(F.col("t")).alias("kept")).collect()[0]
+    assert set(row.kept) == {
+        "https://github.com/o/r/issues/7",
+        "https://example.com/x",
+    }
+
+
 def test_read_jdbc_seam_reaches_jdbc_layer(spark):
     """No JDBC driver jar ships in the sandbox, so the live read can't run;
     the seam test asserts the call is wired through to Spark's JDBC layer

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 # group 1 = the href value (reference HREF_PATTERN keeps attrs around it)
 HREF_PATTERN = '<a [^>]*href="([^"]+)"[^>]*>'
 
+# the reference's full 3-group pattern (GithubScraper.java:56):
+# group 1 = attrs BEFORE href=, group 2 = href value, group 3 = text after
+# the closing quote up to '>' — groups 1/3 feed the github.com attr rule
+HREF_PATTERN_3G = '<a ([^>]*)href="([^"]+)([^>]*)"?>'
+
 # substring deny-list (GithubScraper.java:178-188)
 DENY_SUBSTRINGS = (
     "opensource.guide",
@@ -49,8 +54,42 @@ def _denied(h: Column) -> Column:
 
 
 def filter_denied(hrefs: Column) -> Column:
-    """Drop deny-listed hrefs (keeps order)."""
+    """Drop deny-listed hrefs (keeps order).
+
+    NOTE: this href-only variant cannot apply the reference's extra
+    github.com rule (drop github.com links whose ``<a>`` tag has non-blank
+    attrs before or after the href — ``GithubScraper.java:193-197``), which
+    needs the surrounding tag text. Use :func:`harvest_kept_hrefs` for the
+    full decision."""
     return F.filter(hrefs, lambda h: ~_denied(h))
+
+
+def harvest_kept_hrefs(c: Column | str) -> Column:
+    """Full reference decision in one pass: harvest (pre, href, post) per
+    ``<a>`` tag, apply the deny-lists AND the github.com attr rule
+    (``GithubScraper.java:188-198``: a github.com href is dropped when the
+    tag carries anything non-blank before the ``href=`` or after the value —
+    those are styled navigation anchors, not content links), then distinct.
+
+    Pure column ops (regexp_extract_all ×3 + arrays_zip + filter) — rides
+    whole-stage codegen, no UDF."""
+    c = F.col(c) if isinstance(c, str) else c
+    pre = F.regexp_extract_all(c, F.lit(HREF_PATTERN_3G), F.lit(1))
+    href = F.regexp_extract_all(c, F.lit(HREF_PATTERN_3G), F.lit(2))
+    post = F.regexp_extract_all(c, F.lit(HREF_PATTERN_3G), F.lit(3))
+    zipped = F.arrays_zip(
+        pre.alias("pre"), href.alias("href"), post.alias("post")
+    )
+
+    def keep(t: Column) -> Column:
+        h = t["href"]
+        # post.replaceAll("[\\s\"]", "").trim() — reference strips ws+quotes
+        attr_noise = (F.trim(t["pre"]) != "") | (
+            F.regexp_replace(t["post"], r'[\s"]', "") != ""
+        )
+        return ~_denied(h) & ~(h.contains("github.com") & attr_noise)
+
+    return F.array_distinct(F.transform(F.filter(zipped, keep), lambda t: t["href"]))
 
 
 def attachment_links(hrefs: Column) -> Column:

@@ -158,11 +158,16 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
 
 
-def _banded(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, bucket): one row per LSH band, bucket = hash of the band's
-    signature slice. The (band, bucket) pair is the LSH collision key."""
+def _banded(
+    sigs: DataFrame, n_bands: int, rows_per_band: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [carry...], band, bucket): one row per LSH band, bucket = hash of
+    the band's signature slice. The (band, bucket) pair is the LSH collision
+    key. ``carry`` columns ride along (e.g. the signature itself, so a
+    downstream estimate needs no re-join)."""
     return sigs.select(
         "id",
+        *carry,
         F.posexplode(
             F.array(
                 *[
@@ -224,6 +229,61 @@ def minhash_lsh_pairs(
     )
 
 
+def _sig_match_fraction(sig_a, sig_b):
+    """Estimated Jaccard = fraction of equal signature positions (column
+    expression, no UDF)."""
+    return F.round(
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m))
+        / F.size(sig_a),
+        4,
+    )
+
+
+def minhash_lsh_estimated_pairs(
+    sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs WITH the Jaccard estimate in one pass: the
+    signature arrays ride through the banded self-join, so the estimate is a
+    column expression on the join output — one join, one distinct, no
+    re-join against ``sigs`` (vs. :func:`minhash_lsh_pairs` +
+    :func:`minhash_jaccard_estimate`, whose plan re-reads the signature
+    table on two more branches).
+
+    Trade: the banding shuffle carries the full signature (n_hashes × 8 B ×
+    n_bands per doc). For the default 64×16 that is ~8 KB/doc — cheaper than
+    two extra shuffled joins at every scale we measured; for very wide
+    signatures (n_hashes ≥ 512) prefer the two-phase shape."""
+    banded = _banded(sigs, n_bands, rows_per_band, carry=("signature",))
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            _sig_match_fraction(F.col("l.signature"), F.col("r.signature")).alias(
+                "est_jaccard"
+            ),
+        )
+        .distinct()
+    )
+
+
 def minhash_dup_clusters(
     sigs: DataFrame,
     n_bands: int = 16,
@@ -259,6 +319,7 @@ def minhash_dup_clusters(
     m = m.persist()
 
     labels = sigs.select("id", F.col("id").alias("label"))
+    prev = None
     for _ in range(iterations):
         bmin = (
             m.join(labels, "id")
@@ -278,7 +339,16 @@ def minhash_dup_clusters(
             )
             .persist()
         )
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        # materialize the new labels BEFORE dropping the previous round's
+        # cache (the new plan reads the old one); then unpersist so caches
+        # don't accumulate across rounds/invocations
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    m.unpersist()  # final labels are materialized; m's lineage is no longer needed
+    return out
 
 
 def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -291,16 +361,7 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                )
-                / F.size("sig_a"),
-                4,
-            ).alias("est_jaccard"),
+            _sig_match_fraction(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
         )
     )
 
@@ -362,10 +423,16 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     block_cols, off = [], 0
     for i in range(n_blocks):
         w = base_w + (1 if i < extra else 0)
-        mask = (1 << w) - 1
-        block_cols.append(
-            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(mask)
-        )
+        if w >= 64:
+            # max_hamming=0 → one 64-bit block; (1<<64)-1 is not a valid
+            # Spark long literal, and no mask is needed — the block IS the
+            # whole simhash (candidates = exact simhash equality)
+            block_cols.append(F.col("simhash"))
+        else:
+            mask = (1 << w) - 1
+            block_cols.append(
+                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(mask)
+            )
         off += w
     blocks = sigs.select(
         "id",

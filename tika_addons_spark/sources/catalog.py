@@ -103,9 +103,27 @@ def read_checkpoint(spark: SparkSession, ckpt: str) -> DataFrame:
         # buckets (and double-write the output).
         try:
             return spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt)
-        except AnalysisException:
-            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        except AnalysisException as e:
+            # ONLY a missing path means "fresh run". Any other analysis
+            # failure (permissions, malformed URI, schema conflict) on an
+            # existing checkpoint must surface — swallowing it would resume
+            # from scratch and double-write the output, the exact failure
+            # this probe exists to prevent.
+            if _is_path_not_found(e):
+                return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+            raise
     return spark.read.table(ckpt)
+
+
+def _is_path_not_found(e: AnalysisException) -> bool:
+    try:
+        klass = e.getErrorClass()
+    except Exception:
+        klass = None
+    if klass == "PATH_NOT_FOUND":
+        return True
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
 def completed_keys(spark: SparkSession, ckpt: str, run_id: str) -> DataFrame:
