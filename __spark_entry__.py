@@ -574,6 +574,89 @@ def q40_archive_member_rollup(spark, sf_dir):
     )
 
 
+def q47_binary_archive_rollup(spark, sf_dir):
+    # X10 over REAL bytes, end-to-end with an oracle: documents are
+    # decorated (as in q40), utf-8-encoded and packed into genuine nested
+    # containers — per-(source,lang) ZIP, per-source TAR of the zips,
+    # gzip-wrapped — then explode_binary_members walks gz→tar→zip→leaf with
+    # per-member content re-detection. Packing is lossless (utf-8 round
+    # trip), so per-type leaf counts and char totals equal the sniffed-type
+    # stats over the decorated originals — which IS the DuckDB oracle. The
+    # engine must actually parse its own zip/tar/gzip bytes to match.
+    # Reference: Step3Unpacker.java:56-71,102-180 (real formats, numbered
+    # children, re-detect), ZipFeatureDumper.java:142-207 (entry features).
+    import pandas as pd
+
+    from tika_addons_spark.operators import binarchive
+
+    d = _t(spark, sf_dir, "documents")
+    dec = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("%PDF-1.4\n"), F.col("text"))
+        )
+        .when(
+            F.col("doc_id") % 11 == 1,
+            F.concat(F.lit('<?xml version="1.0"?>'), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 2, F.concat(F.lit("<html><body>"), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("grp", F.concat_ws("|", "source", "lang"))
+
+    def pack_zip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        gid = str(pdf["grp"].iloc[0])
+        members = [
+            (str(i), (t if isinstance(t, str) else "").encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "src": [gid.split("|")[0]],
+                "zip_name": [f"in-{gid}"],
+                "payload": [binarchive.make_zip(members)],
+            }
+        )
+
+    inner = dec.groupBy("grp").applyInPandas(
+        pack_zip, "src string, zip_name string, payload binary"
+    )
+
+    def pack_tar_gz(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("zip_name", kind="mergesort")
+        src = str(pdf["src"].iloc[0])
+        members = [
+            (f"{n}.zip", bytes(b)) for n, b in zip(pdf["zip_name"], pdf["payload"])
+        ]
+        return pd.DataFrame(
+            {
+                "container_id": [f"out-{src}"],
+                "payload": [binarchive.make_gzip(binarchive.make_tar(members))],
+            }
+        )
+
+    outer = inner.groupBy("src").applyInPandas(
+        pack_tar_gz, "container_id string, payload binary"
+    )
+    members = binarchive.explode_binary_members(
+        outer, ["container_id"], "payload", max_depth=4
+    )
+    leaves = members.filter(~F.col("is_container"))
+    return (
+        leaves.groupBy(F.col("detected_type").alias("member_type"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.length("member_text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("member_type")
+    )
+
+
 def q43_link_harvest(spark, sf_dir):
     # X3: href harvest + deny-list + classification as pure column ops
     # (GithubScraper.java:165-219). Synthetic per-doc HTML is built
@@ -730,6 +813,57 @@ def q44_lang_detect(spark, sf_dir):
     )
 
 
+_GRID_PHRASES = {
+    "en": "the a of and to in is that it for ",
+    "de": "der die und das von zu mit den ist ein ",
+    "es": "el la de que y en un por con para ",
+    "fr": "le la de et les des en un du que ",
+}
+
+
+def q48_lang_grid(spark, sf_dir):
+    # A6/A10 grid harness: detector accuracy per (length, noise, lang) cell —
+    # LangDetectRunner.java:587-617's detector×length×noise sweep. The
+    # detector under test here is the SQL-expressible stopword voter
+    # (textqual.lang_guess, same decision as q24) so DuckDB can replicate
+    # the whole grid; the probing trigram detector's grid is gated in
+    # tests/test_langid.py (not SQL-expressible). Eval rows are synthesized
+    # deterministically from doc_id: expected lang, truncation length
+    # (F16-style probe lengths) and noise (F15-style char perturbation via
+    # translate) are all closed-form.
+    from tika_addons_spark.operators.textqual import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    langs = sorted(_GRID_PHRASES)
+    idx = (F.col("doc_id") % 4).cast("int") + 1
+    expected = F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
+    base = F.element_at(
+        F.array(*[F.repeat(F.lit(_GRID_PHRASES[lang]), 12) for lang in langs]), idx
+    )
+    length = F.element_at(
+        F.array(F.lit(40), F.lit(120), F.lit(400)),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    noisy = (F.col("doc_id") % 2 == 1).alias("noisy")
+    clipped = F.substring(base, F.lit(1), length)
+    etext = F.when(noisy, F.translate(clipped, "ao", "xz")).otherwise(clipped)
+    ev = d.select(
+        expected.alias("lang"),
+        length.cast("int").alias("len_bucket"),
+        noisy,
+        etext.alias("etext"),
+    )
+    hit = (lang_guess("etext") == F.col("lang")).cast("double")
+    return (
+        ev.groupBy("len_bucket", "noisy", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(hit), 4).alias("acc"),
+        )
+        .orderBy("len_bucket", "noisy", "lang")
+    )
+
+
 def q42_dup_clusters(spark, sf_dir):
     # Linear-output dedup for dense corpora: (doc_id, cluster_id) via
     # min-label propagation over LSH band buckets — the 100 TB alternative
@@ -832,10 +966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ann_lsh": q33_ann_lsh,
         "q34_media_features": q34_media_features,
         "q40_archive_member_rollup": q40_archive_member_rollup,
+        "q47_binary_archive_rollup": q47_binary_archive_rollup,
         "q43_link_harvest": q43_link_harvest,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
         "q44_lang_detect": q44_lang_detect,
+        "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
         "q46_extension_fix_audit": q46_extension_fix_audit,
     }
@@ -1161,6 +1297,27 @@ _ORACLES: dict[str, str] = {
                count(*) AS n
         FROM dec GROUP BY member_type ORDER BY member_type
     """,
+    "q47_binary_archive_rollup": """
+        WITH dec AS (
+          SELECT CASE
+                   WHEN doc_id % 11 = 0 THEN '%PDF-1.4' || chr(10) || text
+                   WHEN doc_id % 11 = 1 THEN '<?xml version="1.0"?>' || text
+                   WHEN doc_id % 11 = 2 THEN '<html><body>' || text
+                   ELSE text
+                 END AS t
+          FROM documents)
+        SELECT CASE
+                 WHEN t IS NULL OR length(t) = 0 THEN 'application/octet-stream'
+                 WHEN position('%PDF-' IN ltrim(t)) = 1 THEN 'application/pdf'
+                 WHEN ltrim(t) LIKE '<?xml%' THEN 'application/xml'
+                 WHEN lower(ltrim(t)) LIKE '<!doctype html%'
+                   OR lower(ltrim(t)) LIKE '<html%' THEN 'text/html'
+                 ELSE 'text/plain'
+               END AS member_type,
+               count(*) AS n,
+               sum(length(t))::BIGINT AS total_chars
+        FROM dec GROUP BY member_type ORDER BY member_type
+    """,
     "q45_stacktrace_facets": """
         WITH s AS (
           SELECT CASE user_id % 3
@@ -1181,6 +1338,58 @@ _ORACLES: dict[str, str] = {
                     THEN 'none' ELSE facet_raw END AS facet,
                count(*) AS n
         FROM f GROUP BY facet ORDER BY facet
+    """,
+    "q48_lang_grid": f"""
+        WITH ev AS (
+          SELECT CASE doc_id % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                                 WHEN 2 THEN 'es' ELSE 'fr' END AS lang,
+                 (CASE doc_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 120
+                                  ELSE 400 END)::INT AS len_bucket,
+                 doc_id % 2 = 1 AS noisy,
+                 CASE WHEN doc_id % 2 = 1 THEN translate(
+                        substring(repeat(
+                          CASE doc_id % 4
+                            WHEN 0 THEN 'der die und das von zu mit den ist ein '
+                            WHEN 1 THEN 'the a of and to in is that it for '
+                            WHEN 2 THEN 'el la de que y en un por con para '
+                            ELSE 'le la de et les des en un du que ' END, 12),
+                          1, CASE doc_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 120
+                                             ELSE 400 END),
+                        'ao', 'xz')
+                      ELSE substring(repeat(
+                          CASE doc_id % 4
+                            WHEN 0 THEN 'der die und das von zu mit den ist ein '
+                            WHEN 1 THEN 'the a of and to in is that it for '
+                            WHEN 2 THEN 'el la de que y en un por con para '
+                            ELSE 'le la de et les des en un du que ' END, 12),
+                          1, CASE doc_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 120
+                                             ELSE 400 END)
+                 END AS text
+          FROM documents),
+        scored AS (
+          SELECT lang, len_bucket, noisy,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['der','die','und','das','von','zu','mit','den','ist','ein'])) AS s_de,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+                 len(list_intersect(list_distinct({_TOK}),
+                 ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr
+          FROM ev),
+        best AS (
+          SELECT lang, len_bucket, noisy,
+                 CASE
+                   WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                   WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+                   WHEN s_es > s_en AND s_es > s_de THEN 'es'
+                   WHEN s_en > s_de THEN 'en'
+                   ELSE 'de' END AS guess
+          FROM scored)
+        SELECT len_bucket, noisy, lang, count(*) AS n,
+               round(avg(CASE WHEN guess = lang THEN 1.0 ELSE 0.0 END), 4) AS acc
+        FROM best GROUP BY len_bucket, noisy, lang
+        ORDER BY len_bucket, noisy, lang
     """,
     "q34_media_features": """
         SELECT doc_id AS media_id,

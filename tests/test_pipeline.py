@@ -96,6 +96,76 @@ def test_committed_read_isolation(spark, transcripts_path, tmp_path):
     )
 
 
+def test_dedup_stage_kill_resume_and_skip(spark, transcripts_path, tmp_path):
+    """End-to-end near-dup stage: runs after a killed-then-resumed
+    extraction, labels every non-rejected turn with a cluster, marks
+    survivors, and is itself resume-skipped on re-run (its own checkpoint
+    key)."""
+    from tika_addons_spark.plans.pipeline import DEDUP_STAGE_KEY, run_dedup_stage
+
+    out = str(tmp_path / "ext")
+    ckpt = str(tmp_path / "ck")
+    dd = str(tmp_path / "dedup")
+    # kill mid-run: extraction incomplete, dedup must NOT have run
+    st = run_extraction(
+        spark, transcripts_path, out, ckpt, run_id="rd", n_buckets=8,
+        n_waves=4, fail_after_waves=2, dedup_target=dd,
+    )
+    assert st["killed"] and "dedup_turns" not in st
+
+    # resume: remaining waves + the dedup stage
+    st2 = run_extraction(
+        spark, transcripts_path, out, ckpt, run_id="rd", n_buckets=8,
+        n_waves=4, dedup_target=dd,
+    )
+    assert st2["completed_buckets"] == 4 and st2["dedup_skipped"] is False
+    n_eligible = (
+        catalog.read_extracted(spark, out)
+        .filter(F.col("parse_status") != "rejected")
+        .count()
+    )
+    assert st2["dedup_turns"] == n_eligible
+    labels = spark.read.parquet(dd)
+    assert labels.count() == n_eligible
+    # every turn labeled exactly once; survivor = the cluster's own label
+    assert labels.select("turn_uid").distinct().count() == n_eligible
+    surv = labels.filter("is_survivor")
+    assert surv.count() == st2["dedup_clusters"]
+    assert (
+        surv.filter(F.col("turn_uid") != F.col("cluster_id")).count() == 0
+    )
+    # identical texts must share a cluster (exact dup ⊆ near dup)
+    ext = catalog.read_extracted(spark, out).filter(
+        (F.col("parse_status") != "rejected") & (F.length("extracted_text") > 0)
+    )
+    jd = (
+        ext.select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+                "turn_uid"
+            ),
+            F.sha2("extracted_text", 256).alias("digest"),
+        )
+        .join(labels, "turn_uid")
+        .groupBy("digest")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"), F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n_clusters") > 1))
+    )
+    assert jd.count() == 0
+
+    # third run: everything (waves AND dedup) resume-skips
+    st3 = run_extraction(
+        spark, transcripts_path, out, ckpt, run_id="rd", n_buckets=8,
+        n_waves=4, dedup_target=dd,
+    )
+    assert st3["completed_buckets"] == 0 and st3["dedup_skipped"] is True
+    assert (
+        catalog.read_checkpoint(spark, ckpt)
+        .filter(F.col("partition_key") == DEDUP_STAGE_KEY)
+        .count()
+        == 1
+    )
+
+
 def test_rollup_and_position(spark, transcripts_df):
     ext = extract_turns(transcripts_df)
     roll = conversation_rollup(ext)

@@ -9,8 +9,10 @@ authoritative input shape from BASELINE.json ``input_hint``:
 Turn-text archetypes reproduce the reference's test-resource classes
 (FIXTURES.md table): plain prose, HTML-with-boilerplate pages, bugzilla-style
 attachment tables, PDF-ish payloads (some with embedded xpackets), DWG-MTEXT
-markup codes, noisy text, and poison turns (corrupt payloads, empty/null,
-megarow, control chars) that must never fail the job.
+markup codes, base64 zip/gzip attachment turns (REAL archive bytes — the X10
+extraction-path fixture), noisy text, and poison turns (corrupt payloads,
+corrupt archives, empty/null, megarow, control chars) that must never fail
+the job.
 
 Conversation lengths are skewed (median ~8 turns) and every scale includes
 one "whale" conversation at 100× median — the skew fixture required by
@@ -35,11 +37,12 @@ ROLES = ["user", "assistant", "tool", "system"]
 TOOLS = ["search", "browser", "python", "calculator"]
 
 ARCHETYPES = [
-    ("plain", 0.35),
+    ("plain", 0.31),
     ("html_boilerplate", 0.25),
     ("html_table_attach", 0.05),
     ("pdfish_payload", 0.15),
     ("markup_codes", 0.10),
+    ("archive_attach", 0.04),
     ("noisy", 0.05),
     ("poison", 0.05),
 ]
@@ -168,6 +171,33 @@ def _markup_codes(rng) -> str:
     return "".join(frags)
 
 
+def _archive_attach(rng) -> str:
+    """Real zip/gzip bytes as a base64 data-URI turn — the transcript form
+    of the reference's base64 bugzilla attachments (BugzillaWorker gz'd
+    JSON). Members are themselves typed payloads, so the X10 path exercises
+    per-member re-detection + per-member kernels."""
+    import base64
+
+    from .operators.binarchive import make_gzip, make_zip
+
+    if rng.random_sample() < 0.3:
+        data = make_gzip(_plain(rng).encode("utf-8"))
+        return "data:application/gzip;base64," + base64.b64encode(data).decode()
+    members = []
+    for i in range(int(rng.randint(2, 5))):
+        k = int(rng.randint(0, 3))
+        if k == 0:
+            t = _plain(rng)
+        elif k == 1:
+            t = f"%PDF-1.4\n%%Page 1\n{_sentence(rng, 12)}\n%%EOF"
+        else:
+            t = f"<html><body><p>{_paragraph(rng, 2)}</p></body></html>"
+        members.append((f"m{i}", t.encode("utf-8")))
+    return "data:application/zip;base64," + base64.b64encode(
+        make_zip(members)
+    ).decode()
+
+
 def _noisy(rng) -> str:
     base = _plain(rng)
     noise = [0.05, 0.1, 0.3][int(rng.randint(0, 3))]
@@ -179,7 +209,7 @@ def _noisy(rng) -> str:
 
 
 def _poison(rng) -> str | None:
-    kind = int(rng.randint(0, 6))
+    kind = int(rng.randint(0, 7))
     if kind == 0:
         return "<html><head><title>trunc"  # truncated HTML
     if kind == 1:
@@ -190,6 +220,12 @@ def _poison(rng) -> str | None:
         return None
     if kind == 4:
         return "megarow " + _sentence(rng, 30000)  # >100k chars, truncation path
+    if kind == 5:
+        import base64
+
+        # valid base64, corrupt zip bytes — must reject, never fail (X10/X5)
+        bad = b"PK\x03\x04" + bytes(int(x) for x in rng.randint(0, 255, 24))
+        return "data:application/zip;base64," + base64.b64encode(bad).decode()
     return "ctrl\x00chars\tand\rrets\nhere"
 
 
@@ -199,6 +235,7 @@ _GEN = {
     "html_table_attach": _html_table_attach,
     "pdfish_payload": _pdfish,
     "markup_codes": _markup_codes,
+    "archive_attach": _archive_attach,
     "noisy": _noisy,
     "poison": _poison,
 }

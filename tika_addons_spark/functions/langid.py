@@ -42,8 +42,14 @@ MIN_DIFF = 0.20
 PROBE_EVERY = 110
 
 # ---------------------------------------------------------------------------
-# seed corpora — short authored paragraphs per language (self-contained;
-# the held-out test sentences live in tests/test_langid.py)
+# seed corpora — authored multi-paragraph text per language, 24 languages
+# (self-contained, written for this repo; no external data). Each language
+# gets three paragraphs on DIFFERENT topics (village morning / market and
+# cooking / city work and travel) so the trigram tables are not fit to one
+# story's vocabulary. Held-out sentences on further unrelated topics live in
+# tests/test_langid.py. Breadth stands in for the reference's 70+ OpenNLP
+# models (ProbingLanguageDetector.java); probing semantics are what the
+# reference contributes and are reproduced above.
 # ---------------------------------------------------------------------------
 LANG_SAMPLES: dict[str, str] = {
     "en": (
@@ -52,12 +58,18 @@ LANG_SAMPLES: dict[str, str] = {
         "butter and honey because the morning light makes everything feel "
         "possible and the old clock on the wall keeps counting the hours "
         "that we spend together reading stories about distant mountains "
-        "and the people who walk through them looking for a quiet place "
-        "it was not always easy to know which way the road would turn but "
-        "they had learned that patience and a good map were worth more "
-        "than speed and that every town along the coast had its own songs "
-        "which the fishermen sang when the boats came back in the evening "
-        "this is why the village never felt empty even during the winter"
+        "and the people who walk through them looking for a quiet place\n"
+        "at the market the farmers sell apples onions and cheese and the "
+        "baker explains how long the dough must rest before it goes into "
+        "the hot oven she says that good soup needs time salt and a little "
+        "patience and that nobody should cook fish longer than necessary "
+        "we bought eggs tomatoes and a bag of rice for the week\n"
+        "the office was busy on monday because the new project had started "
+        "and everyone wanted to read the report before the meeting the "
+        "train to the city was full of people carrying bags and phones "
+        "and through the window you could see factories bridges and long "
+        "rows of houses under a grey sky work ended late but the streets "
+        "were still bright with lamps and music from the open doors"
     ),
     "de": (
         "der schnelle braune fuchs springt über den faulen hund während die "
@@ -65,13 +77,18 @@ LANG_SAMPLES: dict[str, str] = {
         "butter und honig bringt weil das morgenlicht alles möglich "
         "erscheinen lässt und die alte uhr an der wand weiter die stunden "
         "zählt die wir zusammen verbringen und geschichten über ferne "
-        "berge lesen und über die menschen die dort einen stillen ort suchen "
-        "es war nicht immer leicht zu wissen wohin der weg führen würde "
-        "aber sie hatten gelernt dass geduld und eine gute karte mehr wert "
-        "sind als geschwindigkeit und dass jede stadt an der küste ihre "
-        "eigenen lieder hatte welche die fischer sangen wenn die boote am "
-        "abend zurückkamen deshalb fühlte sich das dorf niemals leer an "
-        "auch nicht während des langen winters wenn der schnee alles bedeckte"
+        "berge lesen und über die menschen die dort einen stillen ort suchen\n"
+        "auf dem markt verkaufen die bauern äpfel zwiebeln und käse und der "
+        "bäcker erklärt wie lange der teig ruhen muss bevor er in den "
+        "heißen ofen kommt sie sagt dass eine gute suppe zeit salz und "
+        "etwas geduld braucht und dass man fisch niemals länger kochen "
+        "sollte als nötig wir kauften eier tomaten und einen sack reis\n"
+        "im büro war am montag viel los weil das neue projekt begonnen "
+        "hatte und alle den bericht vor der besprechung lesen wollten der "
+        "zug in die stadt war voller menschen mit taschen und telefonen "
+        "und durch das fenster sah man fabriken brücken und lange reihen "
+        "von häusern unter einem grauen himmel die arbeit endete spät aber "
+        "die straßen waren noch hell von lampen und musik aus offenen türen"
     ),
     "fr": (
         "le rapide renard brun saute par dessus le chien paresseux pendant "
@@ -79,13 +96,19 @@ LANG_SAMPLES: dict[str, str] = {
         "apporte du pain frais avec du beurre et du miel parce que la "
         "lumière du matin rend tout possible et la vieille horloge sur le "
         "mur continue de compter les heures que nous passons ensemble à "
-        "lire des histoires sur des montagnes lointaines et les gens qui y "
-        "cherchent un endroit tranquille il n était pas toujours facile de "
-        "savoir où la route allait tourner mais ils avaient appris que la "
-        "patience et une bonne carte valaient mieux que la vitesse et que "
-        "chaque ville au bord de la mer avait ses propres chansons que les "
-        "pêcheurs chantaient quand les bateaux revenaient le soir c est "
-        "pourquoi le village ne semblait jamais vide même pendant l hiver"
+        "lire des histoires sur des montagnes lointaines\n"
+        "au marché les paysans vendent des pommes des oignons et du "
+        "fromage et le boulanger explique combien de temps la pâte doit "
+        "reposer avant d entrer dans le four chaud elle dit qu une bonne "
+        "soupe demande du temps du sel et un peu de patience et qu il ne "
+        "faut jamais cuire le poisson plus longtemps que nécessaire nous "
+        "avons acheté des œufs des tomates et un sac de riz pour la semaine\n"
+        "le bureau était agité lundi parce que le nouveau projet avait "
+        "commencé et tout le monde voulait lire le rapport avant la "
+        "réunion le train vers la ville était plein de gens portant des "
+        "sacs et des téléphones et par la fenêtre on voyait des usines des "
+        "ponts et de longues rangées de maisons sous un ciel gris le "
+        "travail a fini tard mais les rues restaient claires et pleines de musique"
     ),
     "es": (
         "el rápido zorro marrón salta sobre el perro perezoso mientras los "
@@ -93,13 +116,18 @@ LANG_SAMPLES: dict[str, str] = {
         "mantequilla y miel porque la luz de la mañana hace que todo "
         "parezca posible y el viejo reloj de la pared sigue contando las "
         "horas que pasamos juntos leyendo historias sobre montañas lejanas "
-        "y la gente que busca allí un lugar tranquilo no siempre era fácil "
-        "saber hacia dónde giraría el camino pero habían aprendido que la "
-        "paciencia y un buen mapa valían más que la velocidad y que cada "
-        "ciudad junto al mar tenía sus propias canciones que los pescadores "
-        "cantaban cuando los barcos volvían por la tarde por eso el pueblo "
-        "nunca parecía vacío ni siquiera durante los meses del invierno "
-        "cuando la nieve cubría las calles y los niños jugaban dentro"
+        "y la gente que busca allí un lugar tranquilo\n"
+        "en el mercado los campesinos venden manzanas cebollas y queso y "
+        "el panadero explica cuánto tiempo debe reposar la masa antes de "
+        "entrar en el horno caliente ella dice que una buena sopa necesita "
+        "tiempo sal y un poco de paciencia y que nadie debería cocinar el "
+        "pescado más de lo necesario compramos huevos tomates y un saco de arroz\n"
+        "la oficina estaba ocupada el lunes porque el nuevo proyecto había "
+        "comenzado y todos querían leer el informe antes de la reunión el "
+        "tren hacia la ciudad iba lleno de gente con bolsas y teléfonos y "
+        "por la ventana se veían fábricas puentes y largas filas de casas "
+        "bajo un cielo gris el trabajo terminó tarde pero las calles "
+        "seguían llenas de luz y de música que salía por las puertas abiertas"
     ),
     "it": (
         "la veloce volpe marrone salta sopra il cane pigro mentre i bambini "
@@ -107,13 +135,18 @@ LANG_SAMPLES: dict[str, str] = {
         "e miele perché la luce del mattino fa sembrare tutto possibile e "
         "il vecchio orologio sul muro continua a contare le ore che "
         "passiamo insieme leggendo storie di montagne lontane e della "
-        "gente che vi cerca un posto tranquillo non era sempre facile "
-        "sapere dove avrebbe girato la strada ma avevano imparato che la "
-        "pazienza e una buona mappa valevano più della velocità e che ogni "
-        "città sul mare aveva le sue canzoni che i pescatori cantavano "
-        "quando le barche tornavano la sera per questo il paese non "
-        "sembrava mai vuoto nemmeno durante i mesi dell inverno quando la "
-        "neve copriva le strade e i bambini giocavano dentro casa"
+        "gente che vi cerca un posto tranquillo\n"
+        "al mercato i contadini vendono mele cipolle e formaggio e il "
+        "fornaio spiega quanto tempo deve riposare l impasto prima di "
+        "entrare nel forno caldo lei dice che una buona zuppa richiede "
+        "tempo sale e un poco di pazienza e che nessuno dovrebbe cuocere "
+        "il pesce più del necessario abbiamo comprato uova pomodori e riso\n"
+        "l ufficio era pieno di lavoro lunedì perché il nuovo progetto era "
+        "iniziato e tutti volevano leggere il rapporto prima della "
+        "riunione il treno per la città era pieno di persone con borse e "
+        "telefoni e dal finestrino si vedevano fabbriche ponti e lunghe "
+        "file di case sotto un cielo grigio il lavoro è finito tardi ma le "
+        "strade erano ancora luminose e piene di musica dalle porte aperte"
     ),
     "pt": (
         "a rápida raposa marrom pula sobre o cão preguiçoso enquanto as "
@@ -121,41 +154,326 @@ LANG_SAMPLES: dict[str, str] = {
         "manteiga e mel porque a luz da manhã faz tudo parecer possível e "
         "o velho relógio na parede continua contando as horas que passamos "
         "juntos lendo histórias sobre montanhas distantes e as pessoas que "
-        "procuram ali um lugar tranquilo não era sempre fácil saber para "
-        "onde a estrada iria virar mas eles tinham aprendido que a "
-        "paciência e um bom mapa valiam mais do que a velocidade e que "
-        "cada cidade à beira do mar tinha as suas próprias canções que os "
-        "pescadores cantavam quando os barcos voltavam à tarde por isso a "
-        "aldeia nunca parecia vazia nem mesmo durante os meses do inverno "
-        "quando a neve cobria as ruas e as crianças brincavam dentro de casa"
+        "procuram ali um lugar tranquilo\n"
+        "no mercado os agricultores vendem maçãs cebolas e queijo e o "
+        "padeiro explica quanto tempo a massa deve descansar antes de "
+        "entrar no forno quente ela diz que uma boa sopa precisa de tempo "
+        "sal e um pouco de paciência e que ninguém deveria cozinhar o "
+        "peixe mais do que o necessário compramos ovos tomates e arroz\n"
+        "o escritório estava agitado na segunda feira porque o novo "
+        "projeto tinha começado e todos queriam ler o relatório antes da "
+        "reunião o comboio para a cidade ia cheio de pessoas com sacos e "
+        "telefones e pela janela viam se fábricas pontes e longas filas de "
+        "casas sob um céu cinzento o trabalho acabou tarde mas as ruas "
+        "ainda estavam cheias de luz e de música vinda das portas abertas"
     ),
     "nl": (
         "de snelle bruine vos springt over de luie hond terwijl de kinderen "
         "vanuit de tuin toekijken en hun moeder vers brood met boter en "
         "honing brengt omdat het ochtendlicht alles mogelijk laat lijken "
         "en de oude klok aan de muur de uren blijft tellen die we samen "
-        "doorbrengen met het lezen van verhalen over verre bergen en de "
-        "mensen die daar een stille plek zoeken het was niet altijd "
-        "gemakkelijk om te weten welke kant de weg op zou gaan maar zij "
-        "hadden geleerd dat geduld en een goede kaart meer waard waren dan "
-        "snelheid en dat elke stad aan de kust haar eigen liederen had die "
-        "de vissers zongen wanneer de boten in de avond terugkwamen daarom "
-        "voelde het dorp nooit leeg zelfs niet tijdens de lange winter "
-        "wanneer de sneeuw de straten bedekte en de kinderen binnen speelden"
+        "doorbrengen met het lezen van verhalen over verre bergen\n"
+        "op de markt verkopen de boeren appels uien en kaas en de bakker "
+        "legt uit hoe lang het deeg moet rusten voordat het de hete oven "
+        "in gaat zij zegt dat goede soep tijd zout en een beetje geduld "
+        "nodig heeft en dat niemand vis langer moet koken dan nodig wij "
+        "kochten eieren tomaten en een zak rijst voor de hele week\n"
+        "het kantoor was druk op maandag omdat het nieuwe project was "
+        "begonnen en iedereen het verslag wilde lezen voor de vergadering "
+        "de trein naar de stad zat vol mensen met tassen en telefoons en "
+        "door het raam zag je fabrieken bruggen en lange rijen huizen "
+        "onder een grijze lucht het werk eindigde laat maar de straten "
+        "waren nog licht van de lampen en de muziek uit de open deuren"
     ),
     "sv": (
         "den snabba bruna räven hoppar över den lata hunden medan barnen "
         "tittar från trädgården och deras mor kommer med färskt bröd med "
         "smör och honung eftersom morgonljuset får allt att kännas möjligt "
         "och den gamla klockan på väggen fortsätter räkna timmarna som vi "
-        "tillbringar tillsammans med att läsa berättelser om avlägsna "
-        "berg och människorna som söker en stilla plats där det var inte "
-        "alltid lätt att veta åt vilket håll vägen skulle svänga men de "
-        "hade lärt sig att tålamod och en bra karta var mer värda än "
-        "snabbhet och att varje stad vid kusten hade sina egna sånger som "
-        "fiskarna sjöng när båtarna kom tillbaka på kvällen därför kändes "
-        "byn aldrig tom inte ens under den långa vintern när snön täckte "
-        "gatorna och barnen lekte inomhus vid elden"
+        "tillbringar tillsammans med att läsa berättelser om avlägsna berg\n"
+        "på torget säljer bönderna äpplen lök och ost och bagaren "
+        "förklarar hur länge degen måste vila innan den åker in i den "
+        "heta ugnen hon säger att en god soppa behöver tid salt och lite "
+        "tålamod och att ingen borde koka fisk längre än nödvändigt vi "
+        "köpte ägg tomater och en påse ris för hela veckan\n"
+        "kontoret var fullt av arbete på måndagen eftersom det nya "
+        "projektet hade börjat och alla ville läsa rapporten före mötet "
+        "tåget till staden var fullt av människor med väskor och "
+        "telefoner och genom fönstret såg man fabriker broar och långa "
+        "rader av hus under en grå himmel arbetet slutade sent men "
+        "gatorna var fortfarande ljusa av lampor och musik"
+    ),
+    "da": (
+        "den hurtige brune ræv springer over den dovne hund mens børnene "
+        "ser på fra haven og deres mor kommer med frisk brød med smør og "
+        "honning fordi morgenlyset får alting til at føles muligt og det "
+        "gamle ur på væggen bliver ved med at tælle timerne som vi "
+        "tilbringer sammen med at læse historier om fjerne bjerge\n"
+        "på torvet sælger bønderne æbler løg og ost og bageren forklarer "
+        "hvor længe dejen skal hvile før den kommer i den varme ovn hun "
+        "siger at en god suppe kræver tid salt og lidt tålmodighed og at "
+        "ingen bør koge fisk længere end nødvendigt vi købte æg tomater "
+        "og en pose ris til hele ugen\n"
+        "kontoret havde travlt om mandagen fordi det nye projekt var "
+        "begyndt og alle ville læse rapporten før mødet toget ind til "
+        "byen var fyldt med mennesker med tasker og telefoner og gennem "
+        "vinduet kunne man se fabrikker broer og lange rækker af huse "
+        "under en grå himmel arbejdet sluttede sent men gaderne var "
+        "stadig lyse af lamper og musik fra de åbne døre"
+    ),
+    "no": (
+        "den raske brune reven hopper over den late hunden mens barna ser "
+        "på fra hagen og moren deres kommer med ferskt brød med smør og "
+        "honning fordi morgenlyset får alt til å kjennes mulig og den "
+        "gamle klokka på veggen fortsetter å telle timene som vi "
+        "tilbringer sammen med å lese fortellinger om fjerne fjell\n"
+        "på torget selger bøndene epler løk og ost og bakeren forklarer "
+        "hvor lenge deigen må hvile før den settes inn i den varme ovnen "
+        "hun sier at en god suppe trenger tid salt og litt tålmodighet og "
+        "at ingen bør koke fisk lenger enn nødvendig vi kjøpte egg "
+        "tomater og en pose ris til hele uken\n"
+        "kontoret var travelt på mandag fordi det nye prosjektet hadde "
+        "begynt og alle ville lese rapporten før møtet toget inn til byen "
+        "var fullt av folk med vesker og telefoner og gjennom vinduet "
+        "kunne man se fabrikker bruer og lange rekker med hus under en "
+        "grå himmel arbeidet sluttet sent men gatene var fortsatt lyse"
+    ),
+    "fi": (
+        "nopea ruskea kettu hyppää laiskan koiran yli kun lapset "
+        "katselevat puutarhasta ja heidän äitinsä tuo tuoretta leipää "
+        "voin ja hunajan kanssa koska aamun valo saa kaiken tuntumaan "
+        "mahdolliselta ja vanha kello seinällä laskee yhä tunteja jotka "
+        "vietämme yhdessä lukien tarinoita kaukaisista vuorista\n"
+        "torilla maanviljelijät myyvät omenoita sipulia ja juustoa ja "
+        "leipuri selittää kuinka kauan taikinan täytyy levätä ennen kuin "
+        "se menee kuumaan uuniin hän sanoo että hyvä keitto tarvitsee "
+        "aikaa suolaa ja hieman kärsivällisyyttä emmekä saa keittää kalaa "
+        "pidempään kuin on tarpeen ostimme munia tomaatteja ja riisiä\n"
+        "toimistossa oli kiire maanantaina koska uusi hanke oli alkanut "
+        "ja kaikki halusivat lukea raportin ennen kokousta juna "
+        "kaupunkiin oli täynnä ihmisiä laukkujen ja puhelinten kanssa ja "
+        "ikkunasta näkyi tehtaita siltoja ja pitkiä talorivejä harmaan "
+        "taivaan alla työ päättyi myöhään mutta kadut olivat yhä valoisat"
+    ),
+    "pl": (
+        "szybki brązowy lis skacze przez leniwego psa podczas gdy dzieci "
+        "patrzą z ogrodu a ich matka przynosi świeży chleb z masłem i "
+        "miodem ponieważ poranne światło sprawia że wszystko wydaje się "
+        "możliwe a stary zegar na ścianie wciąż liczy godziny które "
+        "spędzamy razem czytając opowieści o dalekich górach\n"
+        "na targu rolnicy sprzedają jabłka cebulę i ser a piekarz "
+        "tłumaczy jak długo ciasto musi odpoczywać zanim trafi do "
+        "gorącego pieca ona mówi że dobra zupa potrzebuje czasu soli i "
+        "trochę cierpliwości i że nikt nie powinien gotować ryby dłużej "
+        "niż trzeba kupiliśmy jajka pomidory i worek ryżu na cały tydzień\n"
+        "w biurze w poniedziałek było dużo pracy ponieważ nowy projekt "
+        "się zaczął i wszyscy chcieli przeczytać raport przed zebraniem "
+        "pociąg do miasta był pełen ludzi z torbami i telefonami a przez "
+        "okno widać było fabryki mosty i długie rzędy domów pod szarym "
+        "niebem praca skończyła się późno ale ulice wciąż były jasne"
+    ),
+    "cs": (
+        "rychlá hnědá liška skáče přes líného psa zatímco děti se dívají "
+        "ze zahrady a jejich matka přináší čerstvý chléb s máslem a medem "
+        "protože ranní světlo dává pocit že všechno je možné a staré "
+        "hodiny na stěně dál počítají hodiny které trávíme společně "
+        "čtením příběhů o dalekých horách\n"
+        "na trhu prodávají rolníci jablka cibuli a sýr a pekař vysvětluje "
+        "jak dlouho musí těsto odpočívat než přijde do horké pece říká že "
+        "dobrá polévka potřebuje čas sůl a trochu trpělivosti a že nikdo "
+        "by neměl vařit rybu déle než je nutné koupili jsme vejce rajčata "
+        "a pytel rýže na celý týden\n"
+        "v kanceláři bylo v pondělí rušno protože začal nový projekt a "
+        "všichni chtěli přečíst zprávu před schůzí vlak do města byl plný "
+        "lidí s taškami a telefony a oknem byly vidět továrny mosty a "
+        "dlouhé řady domů pod šedou oblohou práce skončila pozdě ale "
+        "ulice byly stále světlé od lamp a hudby z otevřených dveří"
+    ),
+    "ro": (
+        "vulpea maro și rapidă sare peste câinele leneș în timp ce copiii "
+        "privesc din grădină iar mama lor aduce pâine proaspătă cu unt și "
+        "miere pentru că lumina dimineții face ca totul să pară posibil "
+        "iar ceasul vechi de pe perete continuă să numere orele pe care "
+        "le petrecem împreună citind povești despre munți îndepărtați\n"
+        "la piață țăranii vând mere ceapă și brânză iar brutarul explică "
+        "cât timp trebuie să se odihnească aluatul înainte să intre în "
+        "cuptorul fierbinte ea spune că o supă bună are nevoie de timp "
+        "sare și puțină răbdare și că nimeni nu ar trebui să fiarbă "
+        "peștele mai mult decât este necesar am cumpărat ouă roșii și orez\n"
+        "biroul era aglomerat luni pentru că începuse proiectul nou și "
+        "toți voiau să citească raportul înainte de ședință trenul spre "
+        "oraș era plin de oameni cu genți și telefoane iar pe fereastră "
+        "se vedeau fabrici poduri și șiruri lungi de case sub un cer gri "
+        "munca s a terminat târziu dar străzile erau încă luminoase"
+    ),
+    "hu": (
+        "a gyors barna róka átugrik a lusta kutya fölött miközben a "
+        "gyerekek a kertből nézik és az anyjuk friss kenyeret hoz vajjal "
+        "és mézzel mert a reggeli fény mindent lehetségesnek mutat és a "
+        "régi óra a falon tovább számolja az órákat amelyeket együtt "
+        "töltünk történeteket olvasva távoli hegyekről\n"
+        "a piacon a gazdák almát hagymát és sajtot árulnak és a pék "
+        "elmagyarázza meddig kell pihennie a tésztának mielőtt a forró "
+        "kemencébe kerül azt mondja hogy a jó leveshez idő só és egy kis "
+        "türelem kell és hogy senki ne főzze a halat tovább a "
+        "szükségesnél tojást paradicsomot és egy zsák rizst vettünk\n"
+        "az irodában hétfőn sok munka volt mert elkezdődött az új projekt "
+        "és mindenki el akarta olvasni a jelentést a megbeszélés előtt a "
+        "városba tartó vonat tele volt emberekkel táskákkal és "
+        "telefonokkal és az ablakból gyárak hidak és hosszú házsorok "
+        "látszottak a szürke ég alatt a munka későn ért véget de az "
+        "utcák még világosak voltak a lámpáktól és a zenétől"
+    ),
+    "tr": (
+        "hızlı kahverengi tilki tembel köpeğin üzerinden atlarken çocuklar "
+        "bahçeden izliyor ve anneleri tereyağı ve bal ile taze ekmek "
+        "getiriyor çünkü sabah ışığı her şeyi mümkün gösteriyor ve "
+        "duvardaki eski saat birlikte geçirdiğimiz saatleri saymaya devam "
+        "ediyor uzak dağlar hakkında hikayeler okuyoruz\n"
+        "pazarda çiftçiler elma soğan ve peynir satıyor ve fırıncı "
+        "hamurun sıcak fırına girmeden önce ne kadar dinlenmesi "
+        "gerektiğini anlatıyor iyi bir çorbanın zaman tuz ve biraz sabır "
+        "istediğini ve kimsenin balığı gereğinden uzun pişirmemesi "
+        "gerektiğini söylüyor yumurta domates ve bir torba pirinç aldık\n"
+        "pazartesi günü ofis yoğundu çünkü yeni proje başlamıştı ve "
+        "herkes toplantıdan önce raporu okumak istiyordu şehre giden tren "
+        "çantalı ve telefonlu insanlarla doluydu ve pencereden gri "
+        "gökyüzünün altında fabrikalar köprüler ve uzun ev sıraları "
+        "görünüyordu iş geç bitti ama sokaklar hala aydınlıktı"
+    ),
+    "id": (
+        "rubah coklat yang cepat melompati anjing yang malas sementara "
+        "anak anak menonton dari kebun dan ibu mereka membawa roti segar "
+        "dengan mentega dan madu karena cahaya pagi membuat segalanya "
+        "terasa mungkin dan jam tua di dinding terus menghitung jam yang "
+        "kita habiskan bersama membaca cerita tentang gunung yang jauh\n"
+        "di pasar para petani menjual apel bawang dan keju dan tukang "
+        "roti menjelaskan berapa lama adonan harus istirahat sebelum "
+        "masuk ke oven panas dia berkata bahwa sup yang baik membutuhkan "
+        "waktu garam dan sedikit kesabaran dan tidak ada yang boleh "
+        "memasak ikan lebih lama dari yang diperlukan kami membeli telur "
+        "tomat dan sekarung beras untuk satu minggu\n"
+        "kantor sibuk pada hari senin karena proyek baru sudah dimulai "
+        "dan semua orang ingin membaca laporan sebelum rapat kereta ke "
+        "kota penuh dengan orang yang membawa tas dan telepon dan dari "
+        "jendela terlihat pabrik jembatan dan deretan rumah yang panjang "
+        "di bawah langit abu abu pekerjaan selesai larut malam tetapi "
+        "jalan jalan masih terang oleh lampu dan musik dari pintu terbuka"
+    ),
+    "sw": (
+        "mbweha mwepesi wa kahawia anaruka juu ya mbwa mvivu wakati "
+        "watoto wanatazama kutoka bustanini na mama yao analeta mkate "
+        "safi na siagi na asali kwa sababu mwanga wa asubuhi unafanya "
+        "kila kitu kionekane kinawezekana na saa ya zamani ukutani "
+        "inaendelea kuhesabu masaa tunayotumia pamoja tukisoma hadithi "
+        "za milima ya mbali\n"
+        "sokoni wakulima wanauza matufaha vitunguu na jibini na mwokaji "
+        "anaeleza muda gani unga lazima upumzike kabla ya kuingia kwenye "
+        "tanuri moto anasema kwamba supu nzuri inahitaji muda chumvi na "
+        "uvumilivu kidogo na kwamba hakuna mtu anayepaswa kupika samaki "
+        "zaidi ya inavyohitajika tulinunua mayai nyanya na mchele\n"
+        "ofisi ilikuwa na kazi nyingi siku ya jumatatu kwa sababu mradi "
+        "mpya ulikuwa umeanza na kila mtu alitaka kusoma ripoti kabla ya "
+        "mkutano treni ya kwenda mjini ilijaa watu wenye mifuko na simu "
+        "na kupitia dirisha uliona viwanda madaraja na safu ndefu za "
+        "nyumba chini ya anga la kijivu kazi iliisha usiku lakini "
+        "barabara bado zilikuwa na mwanga wa taa na muziki"
+    ),
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку пока дети "
+        "смотрят из сада а их мать приносит свежий хлеб с маслом и мёдом "
+        "потому что утренний свет делает всё возможным и старые часы на "
+        "стене продолжают считать часы которые мы проводим вместе читая "
+        "истории о далёких горах и людях которые ищут там тихое место\n"
+        "на рынке крестьяне продают яблоки лук и сыр а пекарь объясняет "
+        "сколько времени тесто должно отдыхать прежде чем попасть в "
+        "горячую печь она говорит что хороший суп требует времени соли и "
+        "немного терпения и что никто не должен варить рыбу дольше чем "
+        "нужно мы купили яйца помидоры и мешок риса на всю неделю\n"
+        "в понедельник в офисе было много работы потому что начался "
+        "новый проект и все хотели прочитать отчёт перед собранием поезд "
+        "в город был полон людей с сумками и телефонами а из окна были "
+        "видны заводы мосты и длинные ряды домов под серым небом работа "
+        "закончилась поздно но улицы ещё были светлыми от ламп и музыки"
+    ),
+    "el": (
+        "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο ενώ τα "
+        "παιδιά κοιτάζουν από τον κήπο και η μητέρα τους φέρνει φρέσκο "
+        "ψωμί με βούτυρο και μέλι επειδή το πρωινό φως κάνει τα πάντα να "
+        "φαίνονται δυνατά και το παλιό ρολόι στον τοίχο συνεχίζει να "
+        "μετρά τις ώρες που περνάμε μαζί διαβάζοντας ιστορίες για μακρινά "
+        "βουνά και τους ανθρώπους που ψάχνουν εκεί ένα ήσυχο μέρος\n"
+        "στην αγορά οι αγρότες πουλάνε μήλα κρεμμύδια και τυρί και ο "
+        "φούρναρης εξηγεί πόση ώρα πρέπει να ξεκουραστεί η ζύμη πριν μπει "
+        "στον ζεστό φούρνο λέει ότι μια καλή σούπα χρειάζεται χρόνο "
+        "αλάτι και λίγη υπομονή και ότι κανείς δεν πρέπει να βράζει το "
+        "ψάρι περισσότερο από όσο χρειάζεται αγοράσαμε αυγά ντομάτες και ρύζι\n"
+        "το γραφείο είχε πολλή δουλειά τη δευτέρα επειδή είχε αρχίσει το "
+        "νέο έργο και όλοι ήθελαν να διαβάσουν την αναφορά πριν από τη "
+        "συνάντηση το τρένο για την πόλη ήταν γεμάτο ανθρώπους με τσάντες "
+        "και τηλέφωνα και από το παράθυρο φαίνονταν εργοστάσια γέφυρες "
+        "και μακριές σειρές σπιτιών κάτω από γκρίζο ουρανό"
+    ),
+    "ar": (
+        "يقفز الثعلب البني السريع فوق الكلب الكسول بينما يشاهد الأطفال من "
+        "الحديقة وتحضر أمهم خبزا طازجا مع الزبدة والعسل لأن ضوء الصباح "
+        "يجعل كل شيء يبدو ممكنا والساعة القديمة على الحائط تواصل عد "
+        "الساعات التي نقضيها معا في قراءة قصص عن جبال بعيدة وعن الناس "
+        "الذين يبحثون هناك عن مكان هادئ\n"
+        "في السوق يبيع الفلاحون التفاح والبصل والجبن ويشرح الخباز كم من "
+        "الوقت يجب أن تستريح العجينة قبل أن تدخل الفرن الساخن تقول إن "
+        "الحساء الجيد يحتاج إلى وقت وملح وقليل من الصبر وإن أحدا لا يجب "
+        "أن يطبخ السمك أكثر من اللازم اشترينا بيضا وطماطم وكيسا من الأرز\n"
+        "كان المكتب مزدحما يوم الاثنين لأن المشروع الجديد قد بدأ وأراد "
+        "الجميع قراءة التقرير قبل الاجتماع كان القطار إلى المدينة مليئا "
+        "بالناس الذين يحملون الحقائب والهواتف ومن النافذة كانت تظهر "
+        "المصانع والجسور وصفوف طويلة من البيوت تحت سماء رمادية انتهى "
+        "العمل متأخرا لكن الشوارع ظلت مضيئة بالمصابيح والموسيقى"
+    ),
+    "hi": (
+        "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है जबकि बच्चे बगीचे "
+        "से देखते हैं और उनकी मां मक्खन और शहद के साथ ताजा रोटी लाती है "
+        "क्योंकि सुबह की रोशनी सब कुछ संभव बना देती है और दीवार पर पुरानी "
+        "घड़ी उन घंटों को गिनती रहती है जो हम साथ बिताते हैं दूर के "
+        "पहाड़ों की कहानियां पढ़ते हुए\n"
+        "बाजार में किसान सेब प्याज और पनीर बेचते हैं और नानबाई बताता है "
+        "कि आटे को गरम भट्टी में जाने से पहले कितनी देर आराम करना चाहिए "
+        "वह कहती है कि अच्छे सूप के लिए समय नमक और थोड़ा धैर्य चाहिए और "
+        "किसी को मछली जरूरत से ज्यादा नहीं पकानी चाहिए हमने अंडे टमाटर "
+        "और एक बोरी चावल खरीदा\n"
+        "सोमवार को दफ्तर में बहुत काम था क्योंकि नई परियोजना शुरू हो गई "
+        "थी और सब लोग बैठक से पहले रिपोर्ट पढ़ना चाहते थे शहर जाने वाली "
+        "रेलगाड़ी थैलों और फोनों वाले लोगों से भरी थी और खिड़की से धूसर "
+        "आकाश के नीचे कारखाने पुल और घरों की लंबी कतारें दिखाई देती थीं "
+        "काम देर से खत्म हुआ लेकिन सड़कें अब भी रोशनी से भरी थीं"
+    ),
+    "ja": (
+        "すばやい茶色の狐が怠け者の犬の上を飛び越える間に子供たちは庭から"
+        "眺めていて母親はバターと蜂蜜を添えた焼きたてのパンを運んでくる朝の"
+        "光がすべてを可能に見せるからだ壁の古い時計は私たちが遠い山々の"
+        "物語を読みながら一緒に過ごす時間を数え続けている\n"
+        "市場では農家がりんごと玉ねぎとチーズを売っていてパン職人は生地が"
+        "熱い窯に入る前にどれだけ休ませるべきかを説明している彼女は良い"
+        "スープには時間と塩と少しの忍耐が必要で魚を必要以上に煮てはいけ"
+        "ないと言う私たちは卵とトマトと一週間分の米を買った\n"
+        "月曜日の事務所は新しい計画が始まったので忙しくみんな会議の前に"
+        "報告書を読みたがっていた街へ向かう電車は鞄と電話を持つ人々で"
+        "混み合い窓からは灰色の空の下に工場と橋と長く続く家並みが見えた"
+        "仕事は遅くに終わったが通りはまだ明かりと開いた扉からの音楽で"
+        "明るかった"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒惰的狗孩子们从花园里看着母亲端来涂了黄油和"
+        "蜂蜜的新鲜面包因为清晨的光让一切看起来都有可能墙上的旧钟继续数着"
+        "我们一起度过的时光我们读着关于远方群山的故事和在那里寻找安静地方"
+        "的人们\n"
+        "在市场上农民出售苹果洋葱和奶酪面包师解释面团在进入热炉之前需要"
+        "醒多久她说好汤需要时间盐和一点耐心谁也不应该把鱼煮得超过必要的"
+        "时间我们买了鸡蛋西红柿和一袋够吃一周的大米\n"
+        "星期一办公室很忙因为新项目开始了大家都想在开会之前读完报告开往"
+        "城里的火车挤满了带着包和电话的人从窗户望出去可以看到灰色天空下的"
+        "工厂桥梁和一排排长长的房子工作结束得很晚但街道仍然被灯光和敞开的"
+        "门里传出的音乐照得明亮"
     ),
 }
 

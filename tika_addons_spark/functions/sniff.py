@@ -25,6 +25,14 @@ MIME_XML = "application/xml"
 MIME_MTEXT = "application/x-dwg-mtext"
 MIME_PLAIN = "text/plain"
 MIME_EMPTY = "application/octet-stream"
+MIME_ZIP = "application/zip"
+MIME_GZIP = "application/gzip"
+
+# base64 data-URI attachments inside turn text — the transcript-world form
+# of the reference's base64-encoded bugzilla attachments
+# (bugtracker-crawler/.../BugzillaWorker.java, gz'd JSON payloads)
+DATA_URI_ZIP = "data:application/zip;base64,"
+DATA_URI_GZIP = "data:application/gzip;base64,"
 
 # unreliable types the reference refuses to trust for renames
 # (bugtracker-crawler/.../Step2ExtensionFixer.java:52-58)
@@ -57,6 +65,10 @@ def sniff_one(text: str | None) -> str:
         return MIME_EMPTY
     head = text[:4096]
     stripped = head.lstrip()
+    if stripped.startswith(DATA_URI_ZIP):
+        return MIME_ZIP
+    if stripped.startswith(DATA_URI_GZIP):
+        return MIME_GZIP
     if stripped.startswith("%PDF-"):
         return MIME_PDF
     if _RE_XML.match(head):
@@ -78,7 +90,10 @@ def sniff_series(s: pd.Series) -> pd.Series:
     )
     out[is_htmlish] = MIME_HTML
     out[head.str.match(_RE_XML, na=False)] = MIME_XML
-    out[head.str.lstrip().str.startswith("%PDF-", na=False)] = MIME_PDF
+    lstripped = head.str.lstrip()
+    out[lstripped.str.startswith("%PDF-", na=False)] = MIME_PDF
+    out[lstripped.str.startswith(DATA_URI_ZIP, na=False)] = MIME_ZIP
+    out[lstripped.str.startswith(DATA_URI_GZIP, na=False)] = MIME_GZIP
     out[s.isna() | (s.str.len() == 0)] = MIME_EMPTY
     return out
 

@@ -1,0 +1,310 @@
+"""Real binary container unpack + flatten (SURVEY.md §2.9 X10, bytes path).
+
+This is the X10 operator over GENUINE archive bytes — the reference's
+``bugtracker-crawler/.../Step3Unpacker.java``:
+
+- ``PACKAGE_FORMAT_EXTS`` (zip/7z/tar/rar, ``Step3Unpacker.java:56-62``):
+  every entry becomes a numbered sibling ``{container}-{count}{ext}`` with
+  the extension re-detected from the entry's *content*, not its name
+  (``:102-180,214-227``);
+- ``COMPRESSED_FORMAT_EXTS`` (gz/bz2/xz/lz4, ``:64-71``): single-file
+  wrappers decompress to exactly one child ``{container}-0{ext}``
+  (``Step3Unpacker.decompress``);
+- children re-enter processing, so nested containers unpack recursively;
+- malformed containers NEVER fail the job — the reference catches and logs
+  (``Step3Unpacker.processFile``; ``UnpackerTest.java:23-29`` pins the
+  zip64 failure mode) — here they surface as a ``status='corrupt'`` row.
+
+Python's stdlib covers zip (``zipfile``), tar (``tarfile``), gz (``gzip``),
+bz2 (``bz2``) and xz (``lzma``) with no new dependencies; 7z/rar/lz4 have no
+stdlib codec and are detected-but-not-unpacked (status ``unsupported``),
+mirroring how the reference logs-and-skips formats its PackageParser build
+lacks.
+
+Per-entry feature rows mirror ``ZipFeatureDumper.java:142-207`` (X7):
+name, detected type, byte length, sha256 over the raw bytes.
+
+Spark shape: :func:`explode_binary_members` is a mapInPandas UDTF — N
+container rows in, M member rows out, one narrow stage, no shuffle. At
+100 TB the only distribution concern is container-size skew, handled by the
+same salted repartition the extraction pipeline uses. The sibling module
+``archive.py`` keeps the text-format variant (lossless pack→explode
+round-trip) used by the q40 oracle.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import hashlib
+import io
+import lzma
+import tarfile
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import sniff
+
+MIME_ZIP = sniff.MIME_ZIP  # single-sourced: the extraction path sniffs these
+MIME_GZIP = sniff.MIME_GZIP
+MIME_TAR = "application/x-tar"
+MIME_BZIP2 = "application/x-bzip2"
+MIME_XZ = "application/x-xz"
+MIME_7Z = "application/x-7z-compressed"
+MIME_RAR = "application/x-rar-compressed"
+MIME_BINARY = "application/octet-stream"
+
+#: formats we can actually open (stdlib)
+UNPACKABLE = frozenset({MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ})
+#: detected-but-skipped, as the reference skips formats it lacks a parser for
+DETECT_ONLY = frozenset({MIME_7Z, MIME_RAR})
+
+_EXT = {
+    sniff.MIME_PDF: ".pdf",
+    sniff.MIME_HTML: ".html",
+    sniff.MIME_XML: ".xml",
+    sniff.MIME_MTEXT: ".mtx",
+    sniff.MIME_PLAIN: ".txt",
+    sniff.MIME_EMPTY: ".bin",
+    MIME_ZIP: ".zip",
+    MIME_TAR: ".tar",
+    MIME_GZIP: ".gz",
+    MIME_BZIP2: ".bz2",
+    MIME_XZ: ".xz",
+    MIME_7Z: ".7z",
+    MIME_RAR: ".rar",
+    MIME_BINARY: ".bin",
+}
+
+
+def detect_bytes(data: bytes | None) -> str:
+    """Magic-byte content detection (X6 over bytes). Container magics first;
+    anything that cleanly decodes as UTF-8 falls through to the text sniffer
+    (so a .txt member inside a zip detects as text/plain, like the
+    reference's Tika re-detect on the extracted tmp file). Never throws."""
+    if data is None or len(data) == 0:
+        return sniff.MIME_EMPTY
+    if data[:4] == b"PK\x03\x04" or data[:4] == b"PK\x05\x06":
+        return MIME_ZIP
+    if data[:2] == b"\x1f\x8b":
+        return MIME_GZIP
+    if data[:3] == b"BZh":
+        return MIME_BZIP2
+    if data[:6] == b"\xfd7zXZ\x00":
+        return MIME_XZ
+    if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        return MIME_7Z
+    if data[:7] == b"Rar!\x1a\x07\x00" or data[:8] == b"Rar!\x1a\x07\x01\x00":
+        return MIME_RAR
+    if len(data) >= 265 and data[257:262] == b"ustar":
+        return MIME_TAR
+    try:
+        return sniff.sniff_one(data.decode("utf-8"))
+    except UnicodeDecodeError:
+        return MIME_BINARY
+
+
+# ---------------------------------------------------------------------------
+# pack side (fixture/builder): deterministic real bytes
+# ---------------------------------------------------------------------------
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def make_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """Genuine zip bytes; fixed entry timestamps for determinism."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def make_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Genuine ustar bytes; zeroed mtime/uid/gid for determinism."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def make_gzip(data: bytes) -> bytes:
+    return gzip.compress(data, mtime=0)
+
+
+def make_bz2(data: bytes) -> bytes:
+    return bz2.compress(data)
+
+
+def make_xz(data: bytes) -> bytes:
+    return lzma.compress(data)
+
+
+# ---------------------------------------------------------------------------
+# unpack side
+# ---------------------------------------------------------------------------
+def _list_members(kind: str, data: bytes) -> list[tuple[str, bytes]]:
+    """Entries of one container. Raises on malformed input (caller guards)."""
+    if kind == MIME_ZIP:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return [
+                (zi.filename, zf.read(zi))
+                for zi in zf.infolist()
+                if not zi.is_dir()
+            ]
+    if kind == MIME_TAR:
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            out = []
+            for ti in tf.getmembers():
+                if ti.isfile():
+                    f = tf.extractfile(ti)
+                    out.append((ti.name, f.read() if f is not None else b""))
+            return out
+    if kind == MIME_GZIP:
+        return [("", gzip.decompress(data))]
+    if kind == MIME_BZIP2:
+        return [("", bz2.decompress(data))]
+    if kind == MIME_XZ:
+        return [("", lzma.decompress(data))]
+    raise ValueError(f"not a container: {kind}")
+
+
+def _decode_text(data: bytes) -> str | None:
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+def unpack_one(
+    name: str,
+    data: bytes | None,
+    max_depth: int = 3,
+    emit_containers: bool = False,
+    max_members: int = 100_000,
+) -> list[dict]:
+    """Pure-Python kernel (single source of truth, testable without Spark):
+    flatten one binary payload into member rows.
+
+    Row shape matches ``archive.explode_one`` plus bytes-side columns:
+    member_idx, member_name, member_text (utf-8 or None), member_bytes,
+    detected_type, depth, is_container, n_bytes, status.
+
+    - children numbered per container, named ``{container}-{count}{ext}``
+      with content-re-detected ext (Step3Unpacker.java:102-180,214-227);
+    - nested containers expand breadth-first to ``max_depth`` (standing in
+      for the reference's re-sweep of emitted children);
+    - malformed containers emit one ``status='corrupt'`` row and never
+      raise; detected-only formats (7z/rar) emit ``status='unsupported'``;
+    - ``max_members`` is the zip-bomb guard: expansion stops (status
+      ``truncated``) rather than OOMing an executor.
+    """
+    rows: list[dict] = []
+    ctype = detect_bytes(data)
+    if ctype not in UNPACKABLE:
+        return rows
+    work: list[tuple[str, bytes, int]] = [(name, data or b"", 0)]
+    while work:
+        cname, cdata, depth = work.pop(0)
+        kind = detect_bytes(cdata)
+        try:
+            members = _list_members(kind, cdata)
+        except Exception as e:  # noqa: BLE001 — never fail the job (X5)
+            rows.append(
+                _row(-1, cname, None, None, kind, depth, True, 0,
+                     f"corrupt:{type(e).__name__}")
+            )
+            continue
+        for count, (mname, mdata) in enumerate(members):
+            if len(rows) >= max_members:
+                rows.append(
+                    _row(-1, cname, None, None, kind, depth, True, 0, "truncated")
+                )
+                return rows
+            mtype = detect_bytes(mdata)
+            child_name = f"{cname}-{count}{_EXT.get(mtype, '.bin')}"
+            if mtype in UNPACKABLE and depth + 1 < max_depth:
+                if emit_containers:
+                    rows.append(
+                        _row(count, child_name, None, mdata, mtype,
+                             depth + 1, True, len(mdata), "ok")
+                    )
+                work.append((child_name, mdata, depth + 1))
+            else:
+                status = "unsupported" if mtype in DETECT_ONLY else "ok"
+                rows.append(
+                    _row(count, child_name, _decode_text(mdata), mdata, mtype,
+                         depth + 1, mtype in UNPACKABLE, len(mdata), status)
+                )
+    return rows
+
+
+def _row(idx, name, text, data, mtype, depth, is_container, n_bytes, status):
+    return {
+        "member_idx": idx,
+        "member_name": name,
+        "member_text": text,
+        "member_bytes": data,
+        "detected_type": mtype,
+        "depth": depth,
+        "is_container": is_container,
+        "n_bytes": n_bytes,
+        "sha256": hashlib.sha256(data).hexdigest() if data is not None else None,
+        "status": status,
+    }
+
+
+_MEMBER_COLS = [
+    "member_idx", "member_name", "member_text", "member_bytes",
+    "detected_type", "depth", "is_container", "n_bytes", "sha256", "status",
+]
+_MEMBER_SCHEMA = (
+    "member_idx int, member_name string, member_text string, "
+    "member_bytes binary, detected_type string, depth int, "
+    "is_container boolean, n_bytes long, sha256 string, status string"
+)
+
+
+def explode_binary_members(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    bytes_col: str = "payload",
+    max_depth: int = 3,
+    emit_containers: bool = False,
+) -> DataFrame:
+    """X10 over real bytes as a Spark operator: mapInPandas UDTF — N
+    container rows in, M member rows out (incl. per-entry X7 features:
+    n_bytes, sha256 over raw bytes). One narrow stage, no shuffle; corrupt
+    and unsupported containers become status rows, never task failures."""
+    id_cols = id_cols or ["container_id"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = id_cols + _MEMBER_COLS
+        for pdf in it:
+            rows = []
+            for tup in pdf[id_cols + [bytes_col]].itertuples(index=False):
+                ids, data = tup[:-1], tup[-1]
+                root = str(ids[0])
+                data = bytes(data) if data is not None else None
+                for r in unpack_one(
+                    root, data, max_depth=max_depth, emit_containers=emit_containers
+                ):
+                    rows.append(dict(zip(id_cols, ids)) | r)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    return df.select(*id_cols, bytes_col).mapInPandas(
+        batches, schema=f"{id_schema}, {_MEMBER_SCHEMA}"
+    )

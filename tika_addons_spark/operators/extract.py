@@ -80,9 +80,13 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Extract one Arrow batch. Routes rows by sniffed type."""
     texts = pdf["text"]
     ctype = sniff.sniff_series(texts)
-    # rows needing the python kernels: html/pdf/mtext, plus plain rows that
-    # embed xpacket packets (span scan) — everything else is vectorized.
-    needs_kernel = ctype.isin([sniff.MIME_HTML, sniff.MIME_PDF, sniff.MIME_MTEXT])
+    # rows needing the python kernels: html/pdf/mtext/archive, plus plain
+    # rows that embed xpacket packets (span scan) — everything else is
+    # vectorized.
+    needs_kernel = ctype.isin(
+        [sniff.MIME_HTML, sniff.MIME_PDF, sniff.MIME_MTEXT,
+         sniff.MIME_ZIP, sniff.MIME_GZIP]
+    )
     needs_kernel |= texts.str.contains("<?xpacket begin=", regex=False, na=False)
 
     parts = []
@@ -118,6 +122,77 @@ def extract_turns(df: DataFrame) -> DataFrame:
     """Declarative entry: transcripts DataFrame → extracted DataFrame."""
     cols = [c for c in PASSTHROUGH if c in df.columns] + ["text"]
     return df.select(*cols).mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def extract_embedded_turns(df: DataFrame) -> DataFrame:
+    """UDTF-shaped X10 on the extraction path: one row per *member* of each
+    archive turn (base64 zip/gzip data-URI) — the reference's container →
+    ``List<Metadata>`` flatten where every element carries the parent key +
+    position (``TikaEvalDocMapper.java:86-127``, ``Indexer.java:259-275``).
+    Each member's text runs through its own extraction kernel. Narrow stage,
+    no shuffle; corrupt members become status rows, never failures."""
+    import base64
+
+    from ..oracle import extract_one as _extract_one
+    from . import binarchive
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "conv_id", "turn_idx", "member_idx", "member_name",
+            "detected_type", "status", "extracted_text", "chars_out",
+        ]
+        for pdf in it:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if not isinstance(text, str):
+                    continue
+                ctype = sniff.sniff_one(text)
+                if ctype not in (sniff.MIME_ZIP, sniff.MIME_GZIP):
+                    continue
+                try:
+                    data = base64.b64decode(
+                        text.strip().split(",", 1)[1], validate=True
+                    )
+                except Exception:
+                    data = None
+                members = (
+                    binarchive.unpack_one(str(conv_id), data, max_depth=3)
+                    if data is not None
+                    else [{"member_idx": -1, "member_name": str(conv_id),
+                           "member_text": None,
+                           "detected_type": sniff.MIME_EMPTY,
+                           "status": "corrupt:b64"}]
+                )
+                for r in members:
+                    if r["status"] == "ok" and r["member_text"] is not None:
+                        sub = _extract_one(r["member_text"])
+                        etext, chars = sub["extracted_text"], sub["chars_out"]
+                    else:
+                        etext, chars = None, 0
+                    rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "member_idx": r["member_idx"],
+                            "member_name": r["member_name"],
+                            "detected_type": r["detected_type"],
+                            "status": r["status"],
+                            "extracted_text": etext,
+                            "chars_out": chars,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches,
+        schema=(
+            "conv_id string, turn_idx int, member_idx int, member_name string, "
+            "detected_type string, status string, extracted_text string, "
+            "chars_out int"
+        ),
+    )
 
 
 def extract_pages(df: DataFrame) -> DataFrame:

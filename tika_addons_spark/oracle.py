@@ -11,6 +11,10 @@ Dispatch per turn, by sniffed content type:
 - text/html → density-based boilerplate strip (operators/html.py, X1/X2)
 - application/pdf → payload parse + xpacket spans (operators/payload.py, X4/X8)
 - application/x-dwg-mtext → 5-pass markup-code cascade (functions/cleaners.py, F7)
+- application/zip, application/gzip (base64 data-URI attachments) → decode,
+  unpack real bytes (operators/binarchive.py, X10), extract each member with
+  its own kernel, join in member order — the transcript-world analogue of
+  the reference's base64 bugzilla attachments + Step3Unpacker flatten
 - text/plain, application/xml → F1 newline collapse + trim
 - empty/null → rejected, empty output
 
@@ -39,6 +43,58 @@ def _finalize(text: str) -> str:
     tab and CR do not."""
     text = text.replace("\x00", "").replace("\t", " ").replace("\r", " ")
     return normalize.collapse_newlines(text)
+
+
+def _extract_archive_turn(
+    text: str, ctype: str
+) -> tuple[str, dict[str, str], list[tuple[str, int, int]], list[str], bool]:
+    """X10 on the extraction path: a turn whose text is a base64 data-URI of
+    real zip/gzip bytes. Decode → unpack (binarchive, nested containers
+    flatten breadth-first) → run each member through its own extraction kernel →
+    join non-empty member texts with a single newline, spans = member char
+    ranges in the OUTPUT (input offsets are meaningless for base64).
+
+    Member texts are already finalized (no \\x00/\\t/\\r, no consecutive
+    newlines, trimmed), so the '\\n' join is a fixed point of _finalize and
+    the member spans survive the post-steps unchanged."""
+    import base64
+
+    from .operators import binarchive
+
+    b64 = text.strip().split(",", 1)[1]
+    try:
+        data = base64.b64decode(b64, validate=True)
+    except Exception:
+        return "", {}, [], ["archive-b64-error"], True
+
+    parts: list[str] = []
+    spans: list[tuple[str, int, int]] = []
+    warnings: list[str] = []
+    pos = 0
+    for r in binarchive.unpack_one("turn", data, max_depth=3):
+        if r["status"].startswith("corrupt"):
+            warnings.append("archive-corrupt")
+            continue
+        if r["status"] != "ok":
+            warnings.append(f"archive-{r['status']}")
+            continue
+        if r["member_text"] is None:
+            warnings.append("archive-binary-member")
+            continue
+        sub = extract_one(r["member_text"])
+        if sub["parse_status"] == STATUS_REJECTED:
+            warnings.append("archive-member-rejected")
+            continue
+        if sub["extracted_text"]:
+            parts.append(sub["extracted_text"])
+            spans.append(("member", pos, pos + len(sub["extracted_text"])))
+            pos += len(sub["extracted_text"]) + 1  # '\n' joiner
+    body = "\n".join(parts)
+    meta = {"container": ctype, "n_members": str(len(parts))}
+    rejected = len(parts) == 0
+    if rejected and not warnings:
+        warnings.append("archive-empty")
+    return body, meta, spans, warnings, rejected
 
 
 def extract_one(text: str | None) -> dict[str, Any]:
@@ -71,6 +127,10 @@ def extract_one(text: str | None) -> dict[str, Any]:
         elif ctype == sniff.MIME_MTEXT:
             body = cleaners.clean_mtext(text)
             spans = [("main", 0, len(text))]
+        elif ctype in (sniff.MIME_ZIP, sniff.MIME_GZIP):
+            body, meta, spans, warnings, rejected = _extract_archive_turn(
+                text, ctype
+            )
         else:  # text/plain, application/xml
             # xpacket packets can be embedded in any turn (X8)
             xp = payload_op.scan_xpackets(text)

@@ -72,6 +72,106 @@ def bucket_salted_repartition(
     ).sortWithinPartitions("conv_id", "turn_idx")
 
 
+DEDUP_STAGE_KEY = "stage=near-dup"
+
+
+def run_dedup_stage(
+    spark: SparkSession,
+    target: str,
+    dedup_target: str,
+    ckpt: str,
+    run_id: str,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """Optional post-extraction near-dup stage: MinHash signatures over the
+    committed extracted text → LSH dup clusters (min-label propagation,
+    LINEAR output) → (conv_id, turn_idx, cluster_id, is_survivor) table.
+
+    Resume semantics match the extraction waves: the stage is one checkpoint
+    key (``stage=near-dup``) — clustering is a global operation over the
+    corpus, so its resume granularity is the stage, and its INPUT is the
+    snapshot-consistent committed read (buckets whose checkpoint rows say
+    completed), never a mid-write wave.
+
+    Scale shape: signature UDF is one narrow pass; candidate generation is
+    the banded bucket equi-join (shuffle ∝ collisions, hot buckets cappable
+    via ``max_bucket_size``); cluster output is one row per turn. Rejected
+    turns (empty text) are excluded — they would otherwise form one
+    degenerate all-pairs bucket, and exact dedup owns them anyway."""
+    from ..operators import dedup as dedup_ops
+
+    done = {
+        r.partition_key
+        for r in catalog.completed_keys(spark, ckpt, run_id).collect()
+    }
+    if DEDUP_STAGE_KEY in done:
+        return {"dedup_skipped": True}
+
+    started = dt.datetime.now(dt.timezone.utc)
+    ext = catalog.read_extracted_committed(spark, target, ckpt, run_id)
+    docs = ext.filter(F.col("parse_status") != STATUS_REJECTED).select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "turn_uid"
+        ),
+        "extracted_text",
+    )
+    sigs = dedup_ops.minhash_signatures(
+        docs, "turn_uid", "extracted_text", unit="token"
+    ).persist()
+    sigs.count()
+    clusters = dedup_ops.minhash_dup_clusters(
+        sigs,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    out = (
+        docs.join(clusters, docs.turn_uid == clusters.id)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "turn_uid",
+            "cluster_id",
+            (F.col("turn_uid") == F.col("cluster_id")).alias("is_survivor"),
+        )
+    )
+    out.write.mode("overwrite").parquet(dedup_target)
+    sigs.unpersist()
+
+    written = spark.read.parquet(dedup_target)
+    n_turns = written.count()
+    n_survivors = written.filter("is_survivor").count()
+    finished = dt.datetime.now(dt.timezone.utc)
+    ckpt_rows = spark.createDataFrame(
+        [
+            (
+                run_id,
+                DEDUP_STAGE_KEY,
+                "completed",
+                n_turns,
+                0,
+                0,
+                0,
+                {"clusters": n_survivors, "duplicates": n_turns - n_survivors},
+                started,
+                finished,
+            )
+        ],
+        catalog.CHECKPOINT_SCHEMA,
+    )
+    catalog.append_checkpoint(ckpt_rows, ckpt)
+    return {
+        "dedup_skipped": False,
+        "dedup_turns": n_turns,
+        "dedup_clusters": n_survivors,
+        "dedup_duplicates": n_turns - n_survivors,
+    }
+
+
 def run_extraction(
     spark: SparkSession,
     source: str,
@@ -82,11 +182,14 @@ def run_extraction(
     n_waves: int = 1,
     n_partitions: int | None = None,
     fail_after_waves: int | None = None,
+    dedup_target: str | None = None,
 ) -> dict:
     """Execute the extraction job; returns run stats.
 
     ``fail_after_waves`` simulates a mid-run crash (resume test hook).
-    """
+    ``dedup_target`` (optional) runs the near-dup stage after all waves
+    commit, writing the cluster table there (resumable via its own
+    checkpoint key)."""
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
 
@@ -184,4 +287,9 @@ def run_extraction(
         totals["chars_out"] += int(wave_totals.get("chars_out") or 0)
         totals["n_parse_failures"] += int(wave_totals.get("n_parse_failures") or 0)
 
-    return {"completed_buckets": n_done, "killed": False, **totals}
+    result = {"completed_buckets": n_done, "killed": False, **totals}
+    if dedup_target is not None:
+        result.update(
+            run_dedup_stage(spark, target, dedup_target, ckpt, run_id)
+        )
+    return result

@@ -117,9 +117,12 @@ def read_checkpoint(spark: SparkSession, ckpt: str) -> DataFrame:
 
 def _is_path_not_found(e: AnalysisException) -> bool:
     try:
-        klass = e.getErrorClass()
+        klass = e.getCondition()  # PySpark ≥4 name; getErrorClass is deprecated
     except Exception:
-        klass = None
+        try:
+            klass = e.getErrorClass()
+        except Exception:
+            klass = None
     if klass == "PATH_NOT_FOUND":
         return True
     msg = str(e)
