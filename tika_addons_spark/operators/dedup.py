@@ -319,7 +319,7 @@ def minhash_dup_clusters(
     m = m.persist()
 
     labels = sigs.select("id", F.col("id").alias("label"))
-    prev = None
+    intermediates = []
     for _ in range(iterations):
         bmin = (
             m.join(labels, "id")
@@ -339,16 +339,16 @@ def minhash_dup_clusters(
             )
             .persist()
         )
-        # materialize the new labels BEFORE dropping the previous round's
-        # cache (the new plan reads the old one); then unpersist so caches
-        # don't accumulate across rounds/invocations
-        labels.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = labels
-    out = labels.select("id", F.col("label").alias("cluster_id"))
-    m.unpersist()  # final labels are materialized; m's lineage is no longer needed
-    return out
+        intermediates.append(labels)
+    # ONE action materializes the whole chain (each round's persist fills on
+    # the way through — a count per round would add an extra job each), then
+    # intermediate caches and the band mapping are dropped; only the final
+    # labels stay cached for the caller.
+    labels.count()
+    for df in intermediates[:-1]:
+        df.unpersist()
+    m.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -119,7 +119,20 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_turns(df: DataFrame) -> DataFrame:
-    """Declarative entry: transcripts DataFrame → extracted DataFrame."""
+    """Declarative entry: transcripts DataFrame → extracted DataFrame.
+
+    Delegates to the Arrow-native hot path (extract_arrow.py, mapInArrow):
+    plain/xml turns never materialize Python strings; kernel turns run the
+    same oracle.extract_one as the pandas twin below. Byte-identical output
+    is asserted by tests/test_extract_engine.py."""
+    from .extract_arrow import extract_turns_arrow
+
+    return extract_turns_arrow(df)
+
+
+def extract_turns_pandas(df: DataFrame) -> DataFrame:
+    """The mapInPandas twin (readability/reference variant; also the kernel
+    the pure-Python ceiling control in bench/hw_ceiling.py measures)."""
     cols = [c for c in PASSTHROUGH if c in df.columns] + ["text"]
     return df.select(*cols).mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
 

@@ -1,0 +1,305 @@
+"""Arrow-native extraction hot path (mapInArrow, zero pandas in the loop).
+
+Motivation (round-2 measurement): at local[32] the pandas mapInPandas
+extractor realizes ~66% of the pure-Python process-pool ceiling; a large
+share of the gap is Arrow→pandas materialization — every turn's text becomes
+a Python object even when its processing is then fully vectorized. This
+module keeps the majority path (plain/xml turns) entirely inside pyarrow
+compute kernels (C++, no Python objects), and materializes Python strings
+ONLY for the rows that need the pure-Python kernels (html/pdf/mtext/archive
+/xpacket — the same ``oracle.extract_one`` the pandas path uses, so
+engine ≡ oracle still holds by construction and is asserted by tests).
+
+Semantics contract: byte-identical to ``extract.extract_batch`` /
+``oracle.extract_one`` for every input (asserted over the full fixture
+corpus by tests/test_extract_engine.py::test_arrow_path_equals_pandas_path).
+The subtle bits:
+
+- codepoint semantics: ``pc.utf8_length`` / ``pc.utf8_slice_codeunits``
+  count codepoints, matching Python ``len()``/slicing;
+- Python ``str.strip()`` strips the White_Space set PLUS U+001C–U+001F;
+  RE2's ``\\s`` is ASCII-only — so trimming/emptiness use an explicit
+  character class equal to Python's set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import sniff
+from ..oracle import MAX_EXTRACTED_CHARS, extract_one
+from ..schema import (
+    EXTRACTED_SCHEMA,
+    STATUS_REJECTED,
+    STATUS_VALID,
+    STATUS_VALID_WARNINGS,
+)
+
+PASSTHROUGH = ["conv_id", "turn_idx", "role", "ts"]
+OUT_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
+
+# Python str.strip() character set: Unicode White_Space ∪ U+001C..U+001F
+# (RE2's \\s is ASCII-only, so the class is written out explicitly).
+_PY_WS = "".join(
+    chr(c)
+    for c in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+         0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
+_LSTRIP_RE = f"^[{_PY_WS}]+"
+_RSTRIP_RE = f"[{_PY_WS}]+$"
+_ONLY_WS_RE = f"^[{_PY_WS}]*$"
+
+# sniff regexes in RE2 dialect (sniff.py sources; (?i) replaces re.IGNORECASE)
+_RE2_HTML_PREFIX = r"(?i)^(?:<!doctype\s+html|<html[\s>])"
+_RE2_HTMLISH = r"(?i)<(?:title|head|body|div|p|table|nav|h[1-6])[\s>]"
+_RE2_MTEXT = (
+    r"\\[AHf][^;\\\n]{0,100};"
+    r"|\\S[^;^#]{1,20}[/^#][^;]{1,20};"
+    r"|\\[PLlOoKk]"
+    r"|\\[{}]"
+)
+
+_SPAN_PA = pa.struct(
+    [("kind", pa.string()), ("start", pa.int32()), ("end", pa.int32())]
+)
+_META_PA = pa.map_(pa.string(), pa.string())
+_WARN_PA = pa.list_(pa.string())
+_SPANS_PA = pa.list_(_SPAN_PA)
+
+
+def _b(mask) -> np.ndarray:
+    """Arrow boolean → numpy bool with nulls as False."""
+    return pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+
+
+def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
+    """Vectorized sniff (same priority as sniff.sniff_one) as numpy masks."""
+    head = pc.utf8_slice_codeunits(pc.fill_null(text, ""), 0, 4096)
+    stripped = pc.replace_substring_regex(head, pattern=_LSTRIP_RE, replacement="")
+    # note: plain pc.or_ propagates nulls (null|true=null), which _b would
+    # then fill to False — combine the numpy masks instead
+    empty = _b(pc.is_null(text)) | _b(pc.equal(pc.utf8_length(text), 0))
+    zipuri = _b(pc.starts_with(stripped, sniff.DATA_URI_ZIP))
+    gzuri = _b(pc.starts_with(stripped, sniff.DATA_URI_GZIP))
+    pdf = _b(pc.starts_with(stripped, "%PDF-"))
+    xml = _b(pc.starts_with(stripped, "<?xml"))
+    html = _b(pc.match_substring_regex(stripped, _RE2_HTML_PREFIX)) | _b(
+        pc.match_substring_regex(head, _RE2_HTMLISH)
+    )
+    mtext = _b(pc.match_substring_regex(head, _RE2_MTEXT))
+    # priority: empty > zip > gz > pdf > xml > html > mtext > plain
+    taken = empty.copy()
+
+    def claim(m):
+        out = m & ~taken
+        taken[:] = taken | m
+        return out
+
+    return {
+        "empty": empty,
+        "zip": claim(zipuri),
+        "gz": claim(gzuri),
+        "pdf": claim(pdf),
+        "xml": claim(xml),
+        "html": claim(html),
+        "mtext": claim(mtext),
+        "plain": ~taken,
+    }
+
+
+def _ctype_values(masks: dict[str, np.ndarray], n: int) -> np.ndarray:
+    out = np.full(n, sniff.MIME_PLAIN, dtype=object)
+    for key, mime in (
+        ("mtext", sniff.MIME_MTEXT),
+        ("html", sniff.MIME_HTML),
+        ("xml", sniff.MIME_XML),
+        ("pdf", sniff.MIME_PDF),
+        ("gz", sniff.MIME_GZIP),
+        ("zip", sniff.MIME_ZIP),
+        ("empty", sniff.MIME_EMPTY),
+    ):
+        out[masks[key]] = mime
+    return out
+
+
+def _empty_meta(n: int) -> pa.Array:
+    offsets = pa.array(np.zeros(n + 1, dtype=np.int32))
+    keys = pa.array([], type=pa.string())
+    items = pa.array([], type=pa.string())
+    return pa.MapArray.from_arrays(offsets, keys, items)
+
+
+def _list_from_flags(n: int, flagged: np.ndarray, values: pa.Array) -> pa.Array:
+    """list array with one element where flagged else []; ``values`` holds
+    the element for each flagged row, in row order."""
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(flagged.astype(np.int32), out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets), values)
+
+
+def _extract_plain_arrow(text: pa.Array) -> dict[str, pa.Array]:
+    """The vectorized plain/xml path — pyarrow twin of
+    extract._extract_plain_vectorized (which itself matches extract_one)."""
+    n = len(text)
+    filled = pc.fill_null(text, "")
+    body = pc.replace_substring(filled, pattern="\x00", replacement="")
+    body = pc.replace_substring(body, pattern="\t", replacement=" ")
+    body = pc.replace_substring(body, pattern="\r", replacement=" ")
+    body = pc.replace_substring_regex(body, pattern="\n+", replacement="\n")
+    body = pc.replace_substring_regex(body, pattern=_LSTRIP_RE, replacement="")
+    body = pc.replace_substring_regex(body, pattern=_RSTRIP_RE, replacement="")
+    truncated = _b(pc.greater(pc.utf8_length(body), MAX_EXTRACTED_CHARS))
+    body = pc.utf8_slice_codeunits(body, 0, MAX_EXTRACTED_CHARS)
+    empty = _b(pc.is_null(text)) | _b(
+        pc.match_substring_regex(filled, _ONLY_WS_RE)
+    )
+    out_text = pc.if_else(pa.array(empty), pa.scalar("", pa.string()), body)
+    chars_in = pc.cast(pc.utf8_length(filled), pa.int32())
+    chars_out = pc.cast(pc.utf8_length(out_text), pa.int32())
+
+    status = np.full(n, STATUS_VALID, dtype=object)
+    status[truncated & ~empty] = STATUS_VALID_WARNINGS
+    status[empty] = STATUS_REJECTED
+
+    # spans: [] if empty else [{main, 0, chars_in}]
+    has_span = ~empty
+    ci_np = chars_in.to_numpy(zero_copy_only=False)
+    n_span = int(has_span.sum())
+    span_vals = pa.StructArray.from_arrays(
+        [
+            # explicit types: empty object arrays would otherwise infer null
+            pa.array(np.full(n_span, "main", dtype=object), pa.string()),
+            pa.array(np.zeros(n_span, dtype=np.int32), pa.int32()),
+            pa.array(ci_np[has_span].astype(np.int32), pa.int32()),
+        ],
+        fields=list(_SPAN_PA),
+    )
+    spans = _list_from_flags(n, has_span, span_vals)
+
+    # warnings: empty-content | truncated | []
+    has_warn = empty | truncated
+    warn_vals_np = np.where(empty, "empty-content", "truncated")[has_warn]
+    warnings = _list_from_flags(n, has_warn, pa.array(warn_vals_np, pa.string()))
+
+    return {
+        "extracted_text": out_text,
+        "title": pa.nulls(n, pa.string()),
+        "meta": _empty_meta(n),
+        "spans": spans,
+        "detected_content_type": None,  # filled by caller from the sniff
+        "parse_status": pa.array(status, pa.string()),
+        "warnings": warnings,
+        "chars_in": chars_in,
+        "chars_out": chars_out,
+        "n_pages": pa.nulls(n, pa.int32()),
+    }
+
+
+def _extract_kernel_rows(texts: list) -> dict[str, pa.Array]:
+    """html/pdf/mtext/archive/xpacket rows through the canonical pure-Python
+    kernel (oracle.extract_one) — identical to the pandas path."""
+    rows = [extract_one(t if isinstance(t, str) else None) for t in texts]
+    return {
+        "extracted_text": pa.array([r["extracted_text"] for r in rows], pa.string()),
+        "title": pa.array([r["title"] for r in rows], pa.string()),
+        "meta": pa.array([r["meta"] for r in rows], _META_PA),
+        "spans": pa.array([r["spans"] for r in rows], _SPANS_PA),
+        "detected_content_type": pa.array(
+            [r["detected_content_type"] for r in rows], pa.string()
+        ),
+        "parse_status": pa.array([r["parse_status"] for r in rows], pa.string()),
+        "warnings": pa.array([r["warnings"] for r in rows], _WARN_PA),
+        "chars_in": pa.array([r["chars_in"] for r in rows], pa.int32()),
+        "chars_out": pa.array([r["chars_out"] for r in rows], pa.int32()),
+        "n_pages": pa.array([r["n_pages"] for r in rows], pa.int32()),
+    }
+
+
+def extract_batch_arrow(rb: pa.RecordBatch) -> pa.RecordBatch:
+    text = rb.column(rb.schema.get_field_index("text"))
+    if isinstance(text, pa.ChunkedArray):  # defensive; RecordBatch gives Array
+        text = text.combine_chunks()
+    n = len(text)
+    masks = _sniff_masks(text)
+    ctype = _ctype_values(masks, n)
+    needs_kernel = (
+        masks["html"] | masks["pdf"] | masks["mtext"] | masks["zip"] | masks["gz"]
+    )
+    needs_kernel |= _b(
+        pc.match_substring(pc.fill_null(text, ""), "<?xpacket begin=")
+    )
+
+    plain_idx = np.flatnonzero(~needs_kernel)
+    kernel_idx = np.flatnonzero(needs_kernel)
+
+    if len(kernel_idx) == 0:
+        cols = _extract_plain_arrow(text)
+        cols["detected_content_type"] = pa.array(ctype, pa.string())
+        merged = cols
+    elif len(plain_idx) == 0:
+        merged = _extract_kernel_rows(text.to_pylist())
+    else:
+        plain_cols = _extract_plain_arrow(text.take(pa.array(plain_idx)))
+        plain_cols["detected_content_type"] = pa.array(
+            ctype[plain_idx], pa.string()
+        )
+        kernel_cols = _extract_kernel_rows(
+            text.take(pa.array(kernel_idx)).to_pylist()
+        )
+        # restore original row order with one take per column
+        order = np.concatenate([plain_idx, kernel_idx])
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n, dtype=np.int64)
+        inv_arr = pa.array(inv)
+        merged = {
+            k: pc.take(
+                pa.concat_arrays(
+                    [plain_cols[k].cast(kernel_cols[k].type), kernel_cols[k]]
+                ),
+                inv_arr,
+            )
+            for k in kernel_cols
+        }
+
+    passthrough_null_types = {
+        "conv_id": pa.string(),
+        "turn_idx": pa.int32(),
+        "role": pa.string(),
+        "ts": pa.timestamp("us", tz="UTC"),
+    }
+    arrays = []
+    for name in OUT_COLS:
+        if name in PASSTHROUGH:
+            idx = rb.schema.get_field_index(name)
+            arrays.append(
+                rb.column(idx)
+                if idx >= 0
+                else pa.nulls(n, passthrough_null_types[name])
+            )
+        else:
+            arrays.append(merged[name])
+    return pa.RecordBatch.from_arrays(arrays, names=OUT_COLS)
+
+
+def extract_batches_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    for rb in batches:
+        yield extract_batch_arrow(rb)
+
+
+def extract_turns_arrow(df):
+    """Declarative entry: transcripts DataFrame → extracted DataFrame via
+    mapInArrow (the default hot path; the pandas twin stays in extract.py
+    as the readability/fallback variant and the pure-Python ceiling
+    control's kernel)."""
+    cols = [c for c in PASSTHROUGH if c in df.columns] + ["text"]
+    return df.select(*cols).mapInArrow(extract_batches_arrow, schema=EXTRACTED_SCHEMA)
