@@ -89,6 +89,69 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+# ---------------------------------------------------------------------------
+# Golden pins for the rows-only queries: where DuckDB cannot express the
+# oracle, a committed row-digest pins the full output at sf0.01 so silent
+# drift in the kernels (minhash family, ANN, extraction, langid) is caught.
+# Re-pin DELIBERATELY after a semantic change:
+#     SPARK_GRAFT_REPIN=1 python -m pytest tests/test_entry_contract.py -k golden
+# and bump "fixture_version" in the JSON in the same commit.
+# ---------------------------------------------------------------------------
+import hashlib
+import json
+import os
+
+_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_rows_only.json")
+
+
+def _stable_cell(v):
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return json.dumps([_stable_cell(x) for x in v])
+    if isinstance(v, dict):
+        return json.dumps({k: _stable_cell(x) for k, x in sorted(v.items())})
+    if hasattr(v, "asDict"):  # pyspark Row
+        return _stable_cell(v.asDict())
+    if isinstance(v, float):
+        return round(v, 6)
+    if v is None or v != v:  # NaN
+        return ""
+    return v
+
+
+def _row_digest(pdf: pd.DataFrame) -> str:
+    out = pdf.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        out[c] = out[c].map(_stable_cell)
+    out = out.astype(str).sort_values(by=list(out.columns)).reset_index(drop=True)
+    return hashlib.sha256(out.to_csv(index=False).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_golden_digest(spark, name):
+    pdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    digest = _row_digest(pdf)
+    if os.environ.get("SPARK_GRAFT_REPIN"):
+        data = {}
+        if os.path.exists(_GOLDEN_PATH):
+            data = json.load(open(_GOLDEN_PATH))
+        data.setdefault("fixture_version", 1)
+        data.setdefault("queries", {})[name] = {
+            "digest": digest, "n_rows": len(pdf),
+        }
+        json.dump(data, open(_GOLDEN_PATH, "w"), indent=1, sort_keys=True)
+        pytest.skip("re-pinned")
+    assert os.path.exists(_GOLDEN_PATH), "goldens missing — run with SPARK_GRAFT_REPIN=1"
+    pinned = json.load(open(_GOLDEN_PATH))["queries"][name]
+    assert len(pdf) == pinned["n_rows"], f"{name}: rows {len(pdf)} != {pinned['n_rows']}"
+    assert digest == pinned["digest"], (
+        f"{name}: output drifted from the pinned golden — if intentional, "
+        "re-pin with SPARK_GRAFT_REPIN=1 and bump fixture_version"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
