@@ -34,16 +34,27 @@ CORPUS = os.path.join(
 )
 BATCH = 4096
 
+# kernel under test: "arrow" (the production mapInArrow kernel, default)
+# or "pandas" (the mapInPandas twin — r2's control used this)
+KERNEL = os.environ.get("HW_CEILING_KERNEL", "arrow")
+
 t = pq.read_table(
     CORPUS, columns=["conv_id", "turn_idx", "role", "ts", "text"]
 )
-pdf = t.to_pandas()
-n = len(pdf)
-batches = [pdf.iloc[i : i + BATCH] for i in range(0, n, BATCH)]
-print(f"batches: {len(batches)} turns: {n}", flush=True)
+n = t.num_rows
+if KERNEL == "arrow":
+    batches = t.combine_chunks().to_batches(max_chunksize=BATCH)
+else:
+    pdf = t.to_pandas()
+    batches = [pdf.iloc[i : i + BATCH] for i in range(0, n, BATCH)]
+print(f"kernel: {KERNEL} batches: {len(batches)} turns: {n}", flush=True)
 
 
 def work(idx):
+    if KERNEL == "arrow":
+        from tika_addons_spark.operators.extract_arrow import extract_batch_arrow
+
+        return extract_batch_arrow(batches[idx]).num_rows
     from tika_addons_spark.operators.extract import extract_batch
 
     return len(extract_batch(batches[idx]))

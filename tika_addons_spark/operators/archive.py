@@ -13,11 +13,13 @@ Reference semantics (``bugtracker-crawler/.../Step3Unpacker.java:50-229``):
 
 Per-entry feature rows mirror ``ZipFeatureDumper.java:142-207`` (X7).
 
-Since this engine's payloads live in string columns, the container is a
-deterministic text format rather than a binary zip (the sandbox ships no
-archive corpora; the *operator shape* — UDTF explode of N members out of one
+REAL binary formats (zip/tar/gzip/bz2/xz bytes) live in the sibling module
+``binarchive.py`` (q47, and the extraction path's base64 data-URI turns).
+This module keeps the deterministic TEXT container format: its losslessness
+makes the pack→explode round trip exactly SQL-predictable, which is what the
+q40 oracle checks (the operator shape — UDTF explode of N members out of one
 payload row, content re-sniff per member, sequential numbering, bounded
-recursion — is the real subject):
+recursion — is identical in both):
 
     %ARCHIVE-1.0 name=<name> n=<k>
     %%Member name=<member-name> len=<payload-chars>
