@@ -657,6 +657,56 @@ def q47_binary_archive_rollup(spark, sf_dir):
     )
 
 
+def q49_embedded_member_extract(spark, sf_dir):
+    # X10 on the EXTRACTION path, oracled: documents become base64 zip
+    # data-URI "turns" (two members each: the doc text and an xml-prefixed
+    # copy), extract_embedded_turns unpacks the real bytes inside the
+    # kernel and runs each member through its own extractor. Every output
+    # is a closed-form function of (doc_id, text), so DuckDB predicts member
+    # counts, types and extracted char totals without parsing zip bytes —
+    # the engine must round-trip its own base64+zip and apply the plain-text
+    # kernel (F1/F8 newline/ctrl semantics + trim) to match chars_out
+    # exactly. (Members are plain/xml, the two kernel paths whose output
+    # length IS SQL-expressible; q47 covers type re-detection breadth.)
+    import base64
+
+    import pandas as pd
+
+    from tika_addons_spark.operators import binarchive
+    from tika_addons_spark.operators.extract import extract_embedded_turns
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it):
+        for pdf in it:
+            uris = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t if isinstance(t, str) else ""
+                z = binarchive.make_zip(
+                    [("a", t.encode("utf-8")),
+                     ("b", ('<?xml version="1.0"?>' + t).encode("utf-8"))]
+                )
+                uris.append("data:application/zip;base64," + base64.b64encode(z).decode())
+            yield pd.DataFrame(
+                {
+                    "conv_id": "doc-" + pdf["doc_id"].astype(str),
+                    "turn_idx": 0,
+                    "text": uris,
+                }
+            )
+
+    turns = d.mapInPandas(synth, "conv_id string, turn_idx int, text string")
+    members = extract_embedded_turns(turns)
+    return (
+        members.groupBy(F.col("detected_type").alias("member_type"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("chars_out").cast("long").alias("total_chars_out"),
+        )
+        .orderBy("member_type")
+    )
+
+
 def q43_link_harvest(spark, sf_dir):
     # X3: href harvest + deny-list + classification as pure column ops
     # (GithubScraper.java:165-219). Synthetic per-doc HTML is built
@@ -967,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_media_features": q34_media_features,
         "q40_archive_member_rollup": q40_archive_member_rollup,
         "q47_binary_archive_rollup": q47_binary_archive_rollup,
+        "q49_embedded_member_extract": q49_embedded_member_extract,
         "q43_link_harvest": q43_link_harvest,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
@@ -1317,6 +1368,39 @@ _ORACLES: dict[str, str] = {
                count(*) AS n,
                sum(length(t))::BIGINT AS total_chars
         FROM dec GROUP BY member_type ORDER BY member_type
+    """,
+    "q49_embedded_member_extract": """
+        WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        m AS (
+          SELECT CASE
+                   WHEN t = '' THEN 'application/octet-stream'
+                   WHEN position('%PDF-' IN ltrim(t)) = 1 THEN 'application/pdf'
+                   WHEN ltrim(t) LIKE '<?xml%' THEN 'application/xml'
+                   WHEN lower(ltrim(t)) LIKE '<!doctype html%'
+                     OR lower(ltrim(t)) LIKE '<html%' THEN 'text/html'
+                   ELSE 'text/plain'
+                 END AS member_type,
+                 -- the plain-path kernel's output length (F8 then F1):
+                 -- NUL removed, tab/CR -> space, \\n+ collapsed, trimmed
+                 length(trim(
+                   regexp_replace(
+                     replace(replace(replace(t, chr(0), ''), chr(9), ' '),
+                             chr(13), ' '),
+                     '\\n+', chr(10), 'g'),
+                   ' ' || chr(10))) AS chars
+          FROM base
+          UNION ALL
+          SELECT 'application/xml',
+                 length(trim(
+                   regexp_replace(
+                     replace(replace(replace('<?xml version="1.0"?>' || t,
+                             chr(0), ''), chr(9), ' '), chr(13), ' '),
+                     '\\n+', chr(10), 'g'),
+                   ' ' || chr(10)))
+          FROM base)
+        SELECT member_type, count(*) AS n,
+               sum(chars)::BIGINT AS total_chars_out
+        FROM m GROUP BY member_type ORDER BY member_type
     """,
     "q45_stacktrace_facets": """
         WITH s AS (
