@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--n-waves", type=int, default=1)
     p.add_argument("--n-partitions", type=int, default=None)
+    p.add_argument(
+        "--dedup-target",
+        default=None,
+        help="optional near-dup stage output table/path (runs after all "
+        "waves commit; resumable via its own checkpoint key)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if args.n_buckets < 1 or args.n_waves < 1:
@@ -46,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         n_waves=args.n_waves,
         n_partitions=args.n_partitions,
+        dedup_target=args.dedup_target,
     )
     stats["elapsed_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))

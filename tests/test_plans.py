@@ -135,3 +135,44 @@ def test_extension_fix_stays_jvm_side(spark):
     p = plan_of(df)
     assert "BatchEvalPython" not in p, p
     assert "MapInPandas" not in p, p
+
+
+def test_lang_grid_stays_jvm_side(spark):
+    """q48's detector grid (synthesis, stopword voting, accuracy agg) is
+    pure column expressions — zero Python operators."""
+    p = plan_of(entry.q48_lang_grid(spark, SF))
+    assert "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_binary_archive_rollup_plan(spark):
+    """q47: pack stages are grouped-map python ops, the unpack is ONE
+    mapInPandas, and nothing in the plan is a cartesian product."""
+    p = plan_of(entry.q47_binary_archive_rollup(spark, SF))
+    assert p.count("FlatMapGroupsInPandas") == 2, p  # zip pack + tar.gz pack
+    assert p.count("MapInPandas") == 1, p            # the binary explode
+    assert "CartesianProduct" not in p, p
+
+
+def test_embedded_member_extract_plan(spark):
+    """q49: synth + member-extract are two narrow mapInPandas stages with no
+    shuffle between them (the only Exchange feeds the final rollup)."""
+    p = plan_of(entry.q49_embedded_member_extract(spark, SF))
+    assert p.count("MapInPandas") == 2, p
+    pre_agg = p.split("MapInPandas")[1]  # between the two python stages
+    assert "Exchange" not in pre_agg, p
+
+
+def test_lsh_estimated_pairs_single_join(spark):
+    """q31's flattened plan: signatures ride through the banded self-join —
+    exactly one join and one aggregate-distinct, no re-join of sigs."""
+    from tika_addons_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text")
+    p = plan_of(dedup.minhash_lsh_estimated_pairs(sigs))
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") + p.count(
+        "ShuffledHashJoin"
+    ) == 1, p
+    assert "CartesianProduct" not in p, p
