@@ -7,12 +7,15 @@ bugzilla attachments ``BugzillaWorker.java:441``, zip-entry feature dumps
 image/audio/video as ``binary`` columns with a typed metadata struct, and
 decode/feature steps as Arrow-batched ``mapInPandas``.
 
-The actual decoders (PIL/ffmpeg/etc.) are NOT in this container — the decode
-step is STUBBED: ``decode_stub=True`` computes a deterministic fake feature
-(sha256-seeded vector); ``decode_stub=False`` raises NotImplementedError
-at task level, documenting exactly where a real decoder plugs in. The
-Spark-side plumbing — schema, batching, partitioning, UDF signature — is
-real and tested.
+Decode status (round 3): PNG pixel decode and WAV PCM decode are REAL —
+pure stdlib/numpy (zlib inflate + all five RFC-2083 scanline filters; RIFF
+chunk walk + 8/16-bit PCM), round-trip-tested against the synthesizers.
+``decode_stub=False`` uses them and emits content-derived features with a
+``decoded`` flag; GIF (LZW) and JPEG (DCT) have no stdlib codec and fall
+back per row to the deterministic digest feature, flagged not-decoded —
+degradation is per-row and the job never fails (X5). The Spark-side
+plumbing — schema, batching, partitioning, UDF signature — is identical for
+both paths.
 """
 
 from __future__ import annotations
@@ -175,18 +178,81 @@ def parse_media_headers(
 
 
 # --- deterministic synthesizers (fixtures/tests; real public byte layouts) --
-def make_png(width: int, height: int) -> bytes:
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    chunk = b"IHDR" + ihdr
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr))
-        + chunk
-        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
     )
+
+
+def make_png(width: int, height: int, with_pixels: bool = True) -> bytes:
+    """Genuine PNG: 8-bit RGB, non-interlaced. With ``with_pixels`` the file
+    carries a real zlib-compressed IDAT of deterministic pixels, scanlines
+    cycling through filter types 0..4 (None/Sub/Up/Average/Paeth) so a
+    decoder must implement real unfiltering to read it back."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if with_pixels:
+        px = synth_pixels(width, height)
+        bpp = 3
+        raw = bytearray()
+        prev = np.zeros(width * bpp, dtype=np.uint8)
+        for y in range(height):
+            line = px[y].reshape(-1).astype(np.uint8)
+            ftype = y % 5
+            raw.append(ftype)
+            raw.extend(_png_filter(line, prev, ftype, bpp).tobytes())
+            prev = line
+        out += _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def synth_pixels(width: int, height: int) -> "np.ndarray":
+    """Deterministic (height, width, 3) uint8 gradient-ish pixels."""
+    y = np.arange(height, dtype=np.uint16)[:, None]
+    x = np.arange(width, dtype=np.uint16)[None, :]
+    r = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    g = ((x * 2 + y * 11) % 256).astype(np.uint8)
+    b = ((x * 5 ^ y * 13) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _png_filter(line, prev, ftype: int, bpp: int):
+    """Apply a PNG scanline filter (encode side; RFC 2083 §6)."""
+    line = line.astype(np.int16)
+    prev = prev.astype(np.int16)
+    left = np.zeros_like(line)
+    left[bpp:] = line[:-bpp]
+    upleft = np.zeros_like(prev)
+    upleft[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        out = line
+    elif ftype == 1:
+        out = line - left
+    elif ftype == 2:
+        out = line - prev
+    elif ftype == 3:
+        out = line - ((left + prev) // 2)
+    else:
+        out = line - _paeth(left, prev, upleft)
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
 def make_gif(width: int, height: int) -> bytes:
@@ -210,15 +276,180 @@ def make_jpeg(width: int, height: int) -> bytes:
 
 
 def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Genuine RIFF/WAVE, mono 8-bit PCM, deterministic sine-ish samples."""
     import struct
 
     byte_rate = sample_rate * 1 * 1  # mono, 8-bit
     n = int(round(duration_ms * byte_rate / 1000))
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 1, 8)
-    data = b"\x00" * n
+    data = synth_samples(n).tobytes()
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_samples(n: int) -> "np.ndarray":
+    """Deterministic n uint8 PCM samples (440 Hz-ish triangle at 8 kHz)."""
+    t = np.arange(n, dtype=np.int64)
+    tri = np.abs((t * 440 * 2 % 16000) - 8000) // 32  # 0..250
+    return (tri + 2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — pure Python/stdlib/numpy, no decoder libs.
+# PNG: full pixel decode (zlib inflate + the five RFC-2083 scanline filters)
+# for 8-bit RGB/RGBA/grayscale, non-interlaced. WAV: PCM sample decode (8/16
+# bit). GIF (needs an LZW decoder) and JPEG (needs a DCT pipeline) stay
+# stubbed — documented, not hidden.
+# ---------------------------------------------------------------------------
+def decode_png(payload: bytes) -> "np.ndarray | None":
+    """(height, width, channels) uint8, or None if not a decodable PNG.
+    Never raises."""
+    import struct
+    import zlib
+
+    try:
+        b = payload
+        if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        pos, idat, ihdr = 8, [], None
+        while pos + 8 <= len(b):
+            ln = int.from_bytes(b[pos : pos + 4], "big")
+            ctype = b[pos + 4 : pos + 8]
+            body = b[pos + 8 : pos + 8 + ln]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or not idat:
+            return None
+        width, height, depth, color, _comp, _filt, interlace = ihdr
+        if depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if channels is None:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            return None
+        out = np.zeros((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int16)
+        for y in range(height):
+            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+            ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+            cur = _png_unfilter(line, prev, ftype, channels)
+            out[y] = cur
+            prev = cur.astype(np.int16)
+        return out.reshape(height, width, channels)
+    except Exception:
+        return None
+
+
+def _png_unfilter(line, prev, ftype: int, bpp: int):
+    """Invert a PNG scanline filter. Sub/Average/Paeth are sequential in the
+    left neighbor, so those loop per byte (bounded by the row width)."""
+    line = line.astype(np.int16)
+    if ftype == 0:
+        return line.astype(np.uint8)
+    if ftype == 2:
+        return ((line + prev) % 256).astype(np.uint8)
+    out = np.zeros(len(line), dtype=np.int16)
+    for i in range(len(line)):
+        left = out[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            out[i] = (line[i] + left) % 256
+        elif ftype == 3:
+            out[i] = (line[i] + (left + up) // 2) % 256
+        elif ftype == 4:
+            p = left + up - upleft
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+            out[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter {ftype}")
+    return out.astype(np.uint8)
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
+    """(samples float64 in [-1, 1], sample_rate) for PCM 8/16-bit WAVE,
+    else None. Never raises."""
+    try:
+        b = payload
+        if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+            return None
+        pos, rate, bits, data = 12, None, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+                bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+            elif cid == b"data":
+                data = b[pos + 8 : pos + 8 + csz]
+            pos += 8 + csz + (csz & 1)
+        if rate is None or data is None:
+            return None
+        if bits == 8:
+            samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128
+        elif bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype(np.float64) / 32768
+        else:
+            return None
+        return samples, rate
+    except Exception:
+        return None
+
+
+def real_feature(payload: bytes) -> "list[float] | None":
+    """FEATURE_DIM floats from REAL decoded content, or None when no real
+    decoder exists for the format (gif/jpeg/unknown).
+
+    PNG: per-channel mean/std over decoded pixels + a 2×2 luminance grid +
+    aspect — an honest (if simple) visual embedding. WAV: rms, zero-crossing
+    rate, duration and 8-bin mean-|amplitude| profile."""
+    mt = sniff_media(payload)
+    if mt == "image/png":
+        px = decode_png(payload)
+        if px is None:
+            return None
+        f = px.astype(np.float64) / 255.0
+        h, w, c = f.shape
+        feats = []
+        for ch in range(3):
+            chan = f[:, :, min(ch, c - 1)]
+            feats += [chan.mean(), chan.std()]
+        lum = f[:, :, : min(3, c)].mean(axis=2)
+        my, mx = max(h // 2, 1), max(w // 2, 1)
+        for ys, ye in ((0, my), (my, h)):
+            for xs, xe in ((0, mx), (mx, w)):
+                q = lum[ys:ye, xs:xe]
+                feats.append(q.mean() if q.size else 0.0)
+        feats += [h / max(w, 1), w / 256.0, h / 256.0,
+                  float(px[0, 0, 0]) / 255.0, float(px[-1, -1, -1]) / 255.0, 1.0]
+        return [round(float(x), 6) for x in feats[:FEATURE_DIM]]
+    if mt == "audio/wav":
+        dec = decode_wav(payload)
+        if dec is None:
+            return None
+        s, rate = dec
+        if len(s) == 0:
+            return [0.0] * FEATURE_DIM
+        rms = float(np.sqrt((s**2).mean()))
+        zcr = float((np.diff(np.signbit(s)) != 0).mean()) if len(s) > 1 else 0.0
+        dur = len(s) / rate
+        bins = np.array_split(np.abs(s), 8)
+        prof = [float(x.mean()) for x in bins]
+        feats = [rms, zcr, dur, s.mean(), s.max(), s.min()] + prof
+        return [round(float(x), 6) for x in (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]]
+    return None
 
 
 def _fake_feature(payload: bytes) -> list[float]:
@@ -236,21 +467,29 @@ def extract_media_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract step (mapInPandas).
 
-    Real decoders drop in here per batch — the batch shape (pandas DataFrame
-    with a bytes column), output schema, and partitioning contract are what
-    production code would keep."""
+    ``decode_stub=True`` (default, r1/r2 behavior): deterministic
+    digest-seeded features for every payload, ``decoded`` = false.
+
+    ``decode_stub=False``: REAL decode where a pure-Python decoder exists —
+    PNG pixels (zlib + all five scanline filters) and WAV PCM samples — with
+    content-derived features and ``decoded`` = true; formats without a
+    stdlib-decodable codec (gif needs LZW tables we consider out of scope,
+    jpeg needs a DCT pipeline) fall back to the digest feature with
+    ``decoded`` = false. No NotImplementedError anywhere: the seam degrades
+    per row, never fails the job (X5 discipline)."""
 
     def batch(it):
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this "
-                    "container; run with decode_stub=True"
-                )
-            feats = [
-                _fake_feature(p if isinstance(p, (bytes, bytearray)) else b"")
-                for p in pdf[bin_col]
-            ]
+            feats, decoded = [], []
+            for p in pdf[bin_col]:
+                p = p if isinstance(p, (bytes, bytearray)) else b""
+                f = None if decode_stub else real_feature(bytes(p))
+                if f is None:
+                    feats.append(_fake_feature(p))
+                    decoded.append(False)
+                else:
+                    feats.append(f)
+                    decoded.append(True)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -258,6 +497,7 @@ def extract_media_features(
                         lambda p: len(p) if isinstance(p, (bytes, bytearray)) else 0
                     ),
                     "feature": feats,
+                    "decoded": decoded,
                 }
             )
 
@@ -266,6 +506,7 @@ def extract_media_features(
             T.StructField("id", df.schema[id_col].dataType, False),
             T.StructField("n_bytes", T.LongType(), False),
             T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+            T.StructField("decoded", T.BooleanType(), False),
         ]
     )
     return df.select(id_col, bin_col).mapInPandas(batch, schema=schema)
