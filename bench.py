@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q31_minhash_lsh",
     "q42_dup_clusters",
     "q30_extract_documents",
+    "q47_binary_archive_rollup",
+    "q48_lang_grid",
 ]
 
 # rates keep climbing for ~6 passes on a cold JVM (codegen JIT + Python

@@ -208,6 +208,22 @@ def test_png_decode_roundtrip_all_filters():
     assert multimodal.decode_png(b"not a png") is None
 
 
+def test_gif_decode_roundtrip():
+    """decode_gif must run a real LZW decode (the synthesizer compresses the
+    index stream), including the 12-bit-width region on larger images."""
+    import numpy as np
+
+    for w, h in ((10, 5), (1, 1), (100, 80)):
+        px = multimodal.decode_gif(multimodal.make_gif(w, h))
+        assert px is not None and px.shape == (h, w, 3)
+        assert np.array_equal(px[:, :, 0], multimodal.synth_pixels(w, h)[:, :, 0])
+    assert multimodal.decode_gif(b"GIF89a\x00\x00") is None
+    assert multimodal.decode_gif(b"not a gif") is None
+    # raw LZW round trip incl. dictionary reset pressure
+    data = bytes(range(256)) * 40
+    assert multimodal._lzw_decode(multimodal._lzw_encode(data, 8), 8) == data
+
+
 def test_wav_decode_roundtrip():
     import numpy as np
 
@@ -229,15 +245,23 @@ def test_real_media_features(spark):
         (2, multimodal.make_png(32, 32)),
         (3, multimodal.make_wav(300)),
         (4, multimodal.make_jpeg(10, 10)),  # no DCT decoder → fallback
-        (5, multimodal.make_gif(10, 10)),   # no LZW decoder → fallback
+        (5, multimodal.make_gif(10, 10)),   # real LZW decode
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
         r.id: r
         for r in multimodal.extract_media_features(df, decode_stub=False).collect()
     }
-    assert got[1].decoded and got[2].decoded and got[3].decoded
-    assert not got[4].decoded and not got[5].decoded
+    assert got[1].decoded and got[2].decoded and got[3].decoded and got[5].decoded
+    assert not got[4].decoded
+    # the gif carries the same grayscale gradient as a png's red channel —
+    # its luminance quadrants must match a grayscale reading of the pixels
+    import numpy as np
+
+    px = multimodal.decode_gif(rows[4][1])
+    assert px is not None and np.array_equal(
+        px[:, :, 0], multimodal.synth_pixels(10, 10)[:, :, 0]
+    )
     # png features: mean/std of the deterministic gradient — sanity ranges
     assert all(0.0 <= v <= 1.0 for v in got[1].feature[:6])
     assert got[1].feature != got[2].feature  # different content → different

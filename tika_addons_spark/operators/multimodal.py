@@ -7,15 +7,15 @@ bugzilla attachments ``BugzillaWorker.java:441``, zip-entry feature dumps
 image/audio/video as ``binary`` columns with a typed metadata struct, and
 decode/feature steps as Arrow-batched ``mapInPandas``.
 
-Decode status (round 3): PNG pixel decode and WAV PCM decode are REAL —
-pure stdlib/numpy (zlib inflate + all five RFC-2083 scanline filters; RIFF
-chunk walk + 8/16-bit PCM), round-trip-tested against the synthesizers.
-``decode_stub=False`` uses them and emits content-derived features with a
-``decoded`` flag; GIF (LZW) and JPEG (DCT) have no stdlib codec and fall
-back per row to the deterministic digest feature, flagged not-decoded —
-degradation is per-row and the job never fails (X5). The Spark-side
-plumbing — schema, batching, partitioning, UDF signature — is identical for
-both paths.
+Decode status (round 3): PNG pixel decode (zlib inflate + all five RFC-2083
+scanline filters), GIF pixel decode (from-scratch GIF-variant LZW +
+palette), and WAV PCM decode (RIFF chunk walk, 8/16-bit) are REAL — pure
+stdlib/numpy, round-trip-tested against synthesizers that emit genuine
+compressed content. ``decode_stub=False`` uses them and emits
+content-derived features with a ``decoded`` flag; JPEG (needs a full
+huffman+DCT pipeline) is the one remaining fallback — flagged not-decoded
+per row, the job never fails (X5). The Spark-side plumbing — schema,
+batching, partitioning, UDF signature — is identical for both paths.
 """
 
 from __future__ import annotations
@@ -255,10 +255,176 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def make_gif(width: int, height: int) -> bytes:
+def make_gif(width: int, height: int, with_pixels: bool = True) -> bytes:
+    """Genuine GIF89a: 256-entry grayscale palette, one image, real LZW-
+    compressed index data (so reading pixels back requires a real LZW
+    decoder)."""
     import struct
 
-    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+    head = b"GIF89a" + struct.pack("<HH", width, height)
+    if not with_pixels:
+        return head + b"\x00\x00\x00;"
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = head + struct.pack("<BBB", 0xF7, 0, 0) + palette  # global table, 256
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    indexes = synth_pixels(width, height)[:, :, 0].reshape(-1).tobytes()
+    min_code = 8
+    lzw = _lzw_encode(indexes, min_code)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00;"
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.cur |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, 12-bit cap
+    with dictionary reset)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    bw.write(clear, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                bw.write(clear, width)
+                table, next_code, width = reset()
+        w = bytes([ch])
+    if w:
+        bw.write(table[w], width)
+    bw.write(end, width)
+    return bw.finish()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode` (and of any standard GIF encoder)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    pos, nbits = 0, len(data) * 8
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table, width, prev = fresh(), min_code_size + 1, None
+    while pos + width <= nbits:
+        code = 0
+        for i in range(width):
+            code |= ((data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        if code == clear:
+            table, width, prev = fresh(), min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> "np.ndarray | None":
+    """(height, width, 3) uint8 of the FIRST image, or None. Real LZW
+    decode + palette lookup; extensions skipped; never raises."""
+    try:
+        b = payload
+        if not b.startswith((b"GIF87a", b"GIF89a")):
+            return None
+        width = int.from_bytes(b[6:8], "little")
+        height = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                b[pos : pos + size * 3], dtype=np.uint8
+            ).reshape(size, 3)
+            pos += size * 3
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+                ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+                ipacked = b[pos + 9]
+                pos += 10
+                if ipacked & 0x80:  # local palette
+                    size = 2 << (ipacked & 0x07)
+                    palette = np.frombuffer(
+                        b[pos : pos + size * 3], dtype=np.uint8
+                    ).reshape(size, 3)
+                    pos += size * 3
+                if ipacked & 0x40 or palette is None:  # interlaced: skip
+                    return None
+                min_code = b[pos]
+                pos += 1
+                lzw = bytearray()
+                while pos < len(b) and b[pos] != 0:
+                    n = b[pos]
+                    lzw += b[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                idx = np.frombuffer(
+                    _lzw_decode(bytes(lzw), min_code)[: iw * ih], dtype=np.uint8
+                )
+                if len(idx) != iw * ih:
+                    return None
+                return palette[idx.reshape(ih, iw) % len(palette)].astype(np.uint8)
+            elif block == 0x3B:
+                return None
+            else:
+                return None
+        return None
+    except Exception:
+        return None
 
 
 def make_jpeg(width: int, height: int) -> bytes:
@@ -298,9 +464,10 @@ def synth_samples(n: int) -> "np.ndarray":
 # ---------------------------------------------------------------------------
 # REAL decoders — pure Python/stdlib/numpy, no decoder libs.
 # PNG: full pixel decode (zlib inflate + the five RFC-2083 scanline filters)
-# for 8-bit RGB/RGBA/grayscale, non-interlaced. WAV: PCM sample decode (8/16
-# bit). GIF (needs an LZW decoder) and JPEG (needs a DCT pipeline) stay
-# stubbed — documented, not hidden.
+# for 8-bit RGB/RGBA/grayscale, non-interlaced. GIF: from-scratch GIF-variant
+# LZW (LSB-first, CLEAR/END, 12-bit cap) + palette lookup (decode_gif below,
+# next to the codec). WAV: PCM sample decode (8/16 bit). JPEG (needs a
+# huffman+DCT pipeline) stays stubbed — documented, not hidden.
 # ---------------------------------------------------------------------------
 def decode_png(payload: bytes) -> "np.ndarray | None":
     """(height, width, channels) uint8, or None if not a decodable PNG.
@@ -408,6 +575,26 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
         return None
 
 
+def _image_feature(px: "np.ndarray") -> list[float]:
+    """FEATURE_DIM floats from decoded pixels: per-channel mean/std, a 2×2
+    luminance grid, aspect + corner probes."""
+    f = px.astype(np.float64) / 255.0
+    h, w, c = f.shape
+    feats = []
+    for ch in range(3):
+        chan = f[:, :, min(ch, c - 1)]
+        feats += [chan.mean(), chan.std()]
+    lum = f[:, :, : min(3, c)].mean(axis=2)
+    my, mx = max(h // 2, 1), max(w // 2, 1)
+    for ys, ye in ((0, my), (my, h)):
+        for xs, xe in ((0, mx), (mx, w)):
+            q = lum[ys:ye, xs:xe]
+            feats.append(q.mean() if q.size else 0.0)
+    feats += [h / max(w, 1), w / 256.0, h / 256.0,
+              float(px[0, 0, 0]) / 255.0, float(px[-1, -1, -1]) / 255.0, 1.0]
+    return [round(float(x), 6) for x in feats[:FEATURE_DIM]]
+
+
 def real_feature(payload: bytes) -> "list[float] | None":
     """FEATURE_DIM floats from REAL decoded content, or None when no real
     decoder exists for the format (gif/jpeg/unknown).
@@ -416,25 +603,11 @@ def real_feature(payload: bytes) -> "list[float] | None":
     aspect — an honest (if simple) visual embedding. WAV: rms, zero-crossing
     rate, duration and 8-bin mean-|amplitude| profile."""
     mt = sniff_media(payload)
-    if mt == "image/png":
-        px = decode_png(payload)
+    if mt in ("image/png", "image/gif"):
+        px = decode_png(payload) if mt == "image/png" else decode_gif(payload)
         if px is None:
             return None
-        f = px.astype(np.float64) / 255.0
-        h, w, c = f.shape
-        feats = []
-        for ch in range(3):
-            chan = f[:, :, min(ch, c - 1)]
-            feats += [chan.mean(), chan.std()]
-        lum = f[:, :, : min(3, c)].mean(axis=2)
-        my, mx = max(h // 2, 1), max(w // 2, 1)
-        for ys, ye in ((0, my), (my, h)):
-            for xs, xe in ((0, mx), (mx, w)):
-                q = lum[ys:ye, xs:xe]
-                feats.append(q.mean() if q.size else 0.0)
-        feats += [h / max(w, 1), w / 256.0, h / 256.0,
-                  float(px[0, 0, 0]) / 255.0, float(px[-1, -1, -1]) / 255.0, 1.0]
-        return [round(float(x), 6) for x in feats[:FEATURE_DIM]]
+        return _image_feature(px)
     if mt == "audio/wav":
         dec = decode_wav(payload)
         if dec is None:
