@@ -501,7 +501,12 @@ def q30_extract_documents(spark, sf_dir):
 
 
 def q31_minhash_lsh(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # small-file inputs read as 1-2 partitions — spread rows first or the
+    # signature UDF runs on 2 of 32 cores (at cluster scale the input is
+    # already partitioned and this repartition is a no-op choice)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # persist: the signature UDF feeds both sides of the banded self-join —
     # without it the mapInPandas stage re-runs. At cluster scale signatures
     # are written once as a narrow parquet column instead.
@@ -516,7 +521,9 @@ def q31_minhash_lsh(spark, sf_dir):
 
 
 def q32_simhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = dedup.simhash_signatures(d, "doc_id", "text")
     return dedup.simhash_near_pairs(sigs, max_hamming=8).orderBy("id_a", "id_b")
 
@@ -762,7 +769,9 @@ def q41_lsh_verified_neardup(spark, sf_dir):
     # candidates ONLY. Unlike q20 there is no natural-key block and no
     # O(n²)-within-block join anywhere in the plan; recall vs the exact
     # q20 baseline is pinned by tests/test_lsh_quality.py.
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # unit="token": candidates and verifier measure the SAME similarity
     # (token-set Jaccard) — char-shingle candidates would systematically
     # miss token-level near-dups (measured recall 0.02 before this).
@@ -920,7 +929,9 @@ def q42_dup_clusters(spark, sf_dir):
     # to pairwise enumeration, whose output is Θ(Σ cluster²) rows (3M pairs
     # on 5k synthetic docs here). Pinned by tests/test_lsh_quality.py
     # against a union-find over the candidate pairs.
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token").persist()
     sigs.count()
     clusters = dedup.minhash_dup_clusters(sigs, iterations=3)
