@@ -309,7 +309,9 @@ def q22_fingerprint(spark, sf_dir):
 
 
 def q23_ann_bruteforce(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # small file reads as 1-2 partitions; spread before heavy math
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_bruteforce(emb, queries_df, k=5).orderBy(
         "query_id", "rank"
@@ -458,7 +460,9 @@ def q38_embedding_near_dup(spark, sf_dir):
     # Threshold 0.35 is tuned to the synthetic near-random embeddings so the
     # gate pins real rows (max within-label cosine is ~0.47 at sf0.01 —
     # a production 0.9+ threshold would match only the empty set here).
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # small file reads as 1-2 partitions; spread before heavy math
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
         F.col("embedding").alias("va"),
@@ -532,7 +536,9 @@ def q33_ann_lsh(spark, sf_dir):
     # 16 tables × 10 bits + 1-bit multiprobe: OR-amplification sized for the
     # synthetic corpus's weak neighbor structure (top-5 cosine ~0.3-0.45).
     # Recall vs q23 is measured and pinned in tests/test_lsh_quality.py.
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # small file reads as 1-2 partitions; spread before heavy math
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_lsh(
         emb, queries_df, k=5, n_bits=10, n_tables=16
