@@ -35,7 +35,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
-    """Adapt the documents table to the transcript shape (doc ≡ 1-turn conv)."""
+    """Adapt the documents table to the transcript shape (doc ≡ 1-turn conv).
+    Small-file inputs read as 1-2 partitions, so spread rows before the
+    extraction UDF (same hazard as the signature queries)."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
