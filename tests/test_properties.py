@@ -94,3 +94,63 @@ def test_xpacket_scan_finds_planted_packets(body, k):
 def test_token_count_matches_definition(words):
     t = " ".join(words)
     assert len(tokens_of(t)) == len(words)
+
+
+# --- round-3 codecs / containers ------------------------------------------
+@given(st.binary(max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    from tika_addons_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(categories=("Ll", "Nd")), min_size=1, max_size=12),
+            st.binary(max_size=500),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_zip_tar_unpack_roundtrip(members):
+    """Any member payloads survive zip AND tar pack→unpack byte-exactly
+    (names deduped — archives allow duplicates but the test keys on them)."""
+    from tika_addons_spark.operators import binarchive as ba
+
+    members = [(f"m{i}-{n}", b) for i, (n, b) in enumerate(members)]
+    for pack in (ba.make_zip, ba.make_tar):
+        if not members and pack is ba.make_tar:
+            continue  # empty tar detects as octet-stream (no ustar magic)
+        rows = ba.unpack_one("r", pack(members), max_depth=2)
+        got = [bytes(r["member_bytes"]) for r in rows if r["status"] == "ok"]
+        assert got == [b for _n, b in members]
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_compressed_wrappers_roundtrip(data):
+    from tika_addons_spark.operators import binarchive as ba
+
+    for pack in (ba.make_gzip, ba.make_bz2, ba.make_xz):
+        rows = ba.unpack_one("w", pack(data), max_depth=2)
+        if not data:
+            # empty payload decompresses to an empty (octet-stream) member
+            assert len(rows) == 1 and rows[0]["n_bytes"] == 0
+        else:
+            assert len(rows) == 1 and bytes(rows[0]["member_bytes"]) == data
+
+
+@given(st.binary(min_size=1, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_unpack_never_raises_on_garbage(data):
+    """Total-function property: arbitrary bytes (incl. ones that happen to
+    start with container magics) never raise; corrupt containers surface as
+    status rows."""
+    from tika_addons_spark.operators import binarchive as ba
+
+    for prefix in (b"", b"PK\x03\x04", b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00"):
+        rows = ba.unpack_one("g", prefix + data, max_depth=3)
+        assert all("status" in r for r in rows)
