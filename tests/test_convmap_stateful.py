@@ -79,3 +79,41 @@ def test_stateful_running_state_across_microbatches(spark, tmp_path):
     got = {r.conv_id: (r.n, r.ch, r.lt) for r in rows}
     assert got["c1"] == (3, 9, 2)
     assert got["c2"] == (2, 3, 1)  # "c" (1 char) + "ee" (2 chars)
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """A15's seen-set at stream scale: the first-seen survivor is stable
+    across micro-batches and the duplicate count keeps accumulating."""
+    from tika_addons_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    schema = "conv_id string, turn_idx int, text string"
+    # batch 1: two distinct texts, one dup; batch 2: more dups of the first
+    b1 = [("c1", 0, "same text"), ("c1", 1, "other"), ("c2", 0, "same text")]
+    b2 = [("c3", 0, "same text"), ("c3", 1, "other")]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT first_conv, first_turn, max(n_seen) AS n "
+        "FROM stream_dedup GROUP BY first_conv, first_turn"
+    ).collect()
+    got = {(r.first_conv, r.first_turn): r.n for r in rows}
+    # 'same text' seen 3 times, survivor = its first occurrence (c1, 0);
+    # 'other' seen twice, survivor (c1, 1). Survivors never change.
+    assert got == {("c1", 0): 3, ("c1", 1): 2}
