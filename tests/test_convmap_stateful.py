@@ -92,8 +92,11 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     # batch 1: two distinct texts, one dup; batch 2: more dups of the first
     b1 = [("c1", 0, "same text"), ("c1", 1, "other"), ("c2", 0, "same text")]
     b2 = [("c3", 0, "same text"), ("c3", 1, "other")]
-    spark.createDataFrame(b1, schema).write.parquet(str(src / "f1"))
-    spark.createDataFrame(b2, schema).write.parquet(str(src / "f2"))
+    # one part-file per intended micro-batch (createDataFrame defaults to
+    # multiple partitions → multiple files → maxFilesPerTrigger would split
+    # a "batch" at an arbitrary file boundary)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
 
     stream = (
         spark.readStream.schema(schema)
