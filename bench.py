@@ -47,7 +47,7 @@ BENCH_QUERIES = [
 # 47k/75k/86k/106k/115k/93k/125k/127k turns/s. 6 warmups + best-of-4 lands
 # on the plateau; the scaling harness uses the same protocol.
 WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", 6))
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", 4))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", 6))
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -154,3 +154,65 @@ def test_unpack_never_raises_on_garbage(data):
     for prefix in (b"", b"PK\x03\x04", b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00"):
         rows = ba.unpack_one("g", prefix + data, max_depth=3)
         assert all("status" in r for r in rows)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from(
+                    list(
+                        "<html><p>%PDF- \n\t\r\x00\x1c\x1d\x1f\x85\xa0 　"
+                        "abc &amp; \\P{};déjà𝐀?xml"
+                    )
+                ),
+                max_size=200,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_arrow_kernel_equals_pandas_kernel(texts):
+    """The mapInArrow kernel must equal the pandas kernel byte-for-byte on
+    adversarial inputs — especially the Python-strip boundary set
+    (\\x1c-\\x1f, \\x85, unicode spaces) where RE2 and Python whitespace
+    semantics differ."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from tika_addons_spark.operators.extract import extract_batch
+    from tika_addons_spark.operators.extract_arrow import extract_batch_arrow
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "text": pd.array(texts, dtype=object),
+        }
+    )
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(pdf["conv_id"], pa.string()),
+            pa.array(pdf["turn_idx"], pa.int32()),
+            pa.array(texts, pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "text"],
+    )
+    got = extract_batch_arrow(rb).to_pandas()
+    exp = extract_batch(pdf).reset_index(drop=True)
+    for col in ("extracted_text", "detected_content_type", "parse_status",
+                "chars_in", "chars_out", "title"):
+        a, e = got[col].tolist(), exp[col].tolist()
+        for i, (x, y) in enumerate(zip(a, e)):
+            if pd.isna(x) and pd.isna(y):
+                continue
+            assert x == y, (col, i, repr(texts[i]), x, y)
+    for i, (x, y) in enumerate(zip(got["warnings"], exp["warnings"])):
+        assert list(x) == list(y), ("warnings", i, repr(texts[i]))
+    for i, (x, y) in enumerate(zip(got["spans"], exp["spans"])):
+        xs = [(s["kind"], s["start"], s["end"]) for s in (x if x is not None else [])]
+        ys = [(s["kind"], s["start"], s["end"]) for s in (y if y is not None else [])]
+        assert xs == ys, ("spans", i, repr(texts[i]))
