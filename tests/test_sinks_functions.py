@@ -178,3 +178,22 @@ def test_extension_allowlist_predicate(spark):
         for r in df.select(dp.extension_allowed(F.col("p"), {"pdf", "tgz"})).collect()
     ]
     assert got == [True, True, False, False]
+
+
+def test_read_text_lines_gz_and_xz(spark, tmp_path):
+    """S4: gz via the native codec, xz via the lzma mapInPandas path —
+    identical line content either way."""
+    import gzip as _gzip
+    import lzma as _lzma
+
+    lines = ["alpha line", "beta zeile", "gamma ligne"]
+    payload = ("\n".join(lines) + "\n").encode("utf-8")
+    (tmp_path / "t.txt.gz").write_bytes(_gzip.compress(payload))
+    (tmp_path / "t.txt.xz").write_bytes(_lzma.compress(payload))
+
+    from tika_addons_spark.sources.sinks import read_text_lines
+
+    got_gz = [r.value for r in read_text_lines(spark, str(tmp_path / "t.txt.gz")).collect()]
+    got_xz = [r.value for r in read_text_lines(spark, str(tmp_path / "t.txt.xz")).collect()]
+    assert sorted(got_gz) == sorted(lines)
+    assert sorted(got_xz) == sorted(lines)

@@ -86,6 +86,34 @@ def read_tsv(spark, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
+def read_text_lines(spark, path: str) -> DataFrame:
+    """S4 — compressed text source, one `value` row per line.
+
+    gzip/bzip2 ride Spark's native codec auto-detection; **xz** (which the
+    reference reads via XZInputStream, ``lang-id/.../CCAlignedCounter.java:
+    17-19``) has no codec in stock Spark/Hadoop, so `.xz` paths go through a
+    binaryFile scan + stdlib ``lzma`` decompress in a narrow mapInPandas.
+    Scale note: xz streams are not splittable on ANY engine — the parallel
+    unit is the file, identical to the Hadoop-codec behavior for gz."""
+    if path.endswith(".xz"):
+        import pandas as _pd
+
+        bin_df = spark.read.format("binaryFile").load(path)
+
+        def decomp(it):
+            import lzma
+
+            for pdf in it:
+                values = []
+                for content in pdf["content"]:
+                    text = lzma.decompress(bytes(content)).decode("utf-8")
+                    values.extend(text.splitlines())
+                yield _pd.DataFrame({"value": values})
+
+        return bin_df.select("content").mapInPandas(decomp, "value string")
+    return spark.read.text(path)
+
+
 def read_jdbc(
     spark,
     url: str,
