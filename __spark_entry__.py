@@ -548,6 +548,21 @@ def q33_ann_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q50_ann_ivf(spark, sf_dir):
+    # IVF-Flat ANN (the brief's second ANN family): spherical-k-means
+    # codebook → inverted lists → n_probe probing → exact rerank. Training
+    # uses a deterministic bounded sample so the result is reproducible;
+    # recall vs q23 is gated in tests/test_lsh_quality.py. Not
+    # SQL-expressible (k-means) → rows-only + golden digest.
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_ivf(
+        emb, queries_df, k=5, n_centroids=16, n_probe=6
+    ).orderBy("query_id", "rank")
+
+
 def q40_archive_member_rollup(spark, sf_dir):
     # X10 end-to-end WITH an oracle: documents are deterministically
     # decorated (doc_id mod → pdf/xml/html prefixes), packed into nested
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_minhash_lsh": q31_minhash_lsh,
         "q32_simhash_pairs": q32_simhash_pairs,
         "q33_ann_lsh": q33_ann_lsh,
+        "q50_ann_ivf": q50_ann_ivf,
         "q34_media_features": q34_media_features,
         "q40_archive_member_rollup": q40_archive_member_rollup,
         "q47_binary_archive_rollup": q47_binary_archive_rollup,

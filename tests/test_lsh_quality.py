@@ -236,3 +236,53 @@ def test_ann_lsh_recall_floor_on_testdata(spark):
     an = set(zip(ann.query_id, ann.neighbor_id))
     recall = len(ex & an) / len(ex)
     assert recall >= 0.4, f"testdata recall {recall}"
+
+
+def test_ann_ivf_recall_clustered(spark):
+    """IVF-Flat must reach recall ≥ 0.9 on clustered embeddings with a
+    generous probe budget, and full probing must equal brute force."""
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(200):
+        c = centers[i % 10]
+        v = c + 0.25 * rng.normal(size=32)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 10)
+
+    exact = similarity.cosine_topk_bruteforce(df, q, k=5).toPandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+
+    ivf = similarity.cosine_topk_ivf(
+        df, q, k=5, n_centroids=16, n_probe=6, sample=200
+    ).toPandas()
+    an = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(ex & an) / len(ex)
+    assert recall >= 0.9, f"ivf clustered recall {recall}"
+
+    # degeneracy check: probing every list IS brute force
+    full = similarity.cosine_topk_ivf(
+        df, q, k=5, n_centroids=16, n_probe=16, sample=200
+    ).toPandas()
+    fu = set(zip(full.query_id, full.neighbor_id))
+    assert fu == ex
+
+
+def test_ann_ivf_recall_floor_on_testdata(spark):
+    """q50 vs q23 on the isotropic driver embeddings: pin a measured floor
+    (like the LSH path's) so regressions are visible."""
+    exact = entry_mod.queries()["q23_ann_bruteforce"](spark, SF_DIR).toPandas()
+    ivf = entry_mod.queries()["q50_ann_ivf"](spark, SF_DIR).toPandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+    an = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(ex & an) / len(ex)
+    assert recall >= 0.4, f"ivf testdata recall {recall}"
+
+
+def test_ivf_training_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = similarity.train_ivf_centroids(emb, n_centroids=8, sample=256)
+    c2 = similarity.train_ivf_centroids(emb, n_centroids=8, sample=256)
+    assert np.array_equal(c1, c2)

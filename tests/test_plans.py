@@ -176,3 +176,11 @@ def test_lsh_estimated_pairs_single_join(spark):
         "ShuffledHashJoin"
     ) == 1, p
     assert "CartesianProduct" not in p, p
+
+
+def test_ann_ivf_plan_not_cartesian(spark):
+    """q50: candidates meet via the centroid equi-join — no cartesian or
+    nested-loop join anywhere in the plan."""
+    p = plan_of(entry.q50_ann_ivf(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
