@@ -280,8 +280,11 @@ def q19_quality_features(spark, sf_dir):
 
 def q20_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # hot-block guard mirrored in the oracle SQL; 100k is far above any
+    # sandbox lang-block size, so it never trips here — it exists so the
+    # operator carries the same skew protection as its LSH siblings
     return dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", "lang", threshold=0.8
+        d, "doc_id", "text", "lang", threshold=0.8, max_block_size=100_000
     ).orderBy("id_a", "id_b")
 
 
@@ -466,10 +469,20 @@ def q38_embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )  # small file reads as 1-2 partitions; spread before heavy math
+    # hot-block guard (mirrored in the oracle SQL): labels bigger than the
+    # cap are skipped, same contract as minhash_lsh_pairs.max_bucket_size —
+    # without it, one mega-label turns this block join quadratic at scale.
+    # 100k is far above any sandbox label size, so it never trips here.
+    ok = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= 100_000)
+        .select(F.col("label").alias("lbl"))
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
         F.col("embedding").alias("va"),
-    )
+    ).join(ok, "lbl", "left_semi")
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
         F.col("embedding").alias("vb"),
@@ -947,16 +960,60 @@ def q48_lang_grid(spark, sf_dir):
     )
 
 
-def q42_dup_clusters(spark, sf_dir):
-    # Linear-output dedup for dense corpora: (doc_id, cluster_id) via
-    # min-label propagation over LSH band buckets — the 100 TB alternative
-    # to pairwise enumeration, whose output is Θ(Σ cluster²) rows (3M pairs
-    # on 5k synthetic docs here). Pinned by tests/test_lsh_quality.py
-    # against a union-find over the candidate pairs.
+def _planted_family(doc_id_col):
+    """Integer-exact family key for the planted-duplicate oracles (q42/q51):
+    doc_id < 200 → 20 families of ~10; 200 ≤ doc_id < 260 → 3 families of
+    ~20; everything else a singleton. CASE + modulo only, so DuckDB computes
+    the identical partition with no floating point anywhere."""
+    return (
+        F.when(doc_id_col < 200, doc_id_col % 20)
+        .when(doc_id_col < 260, 200 + doc_id_col % 3)
+        .otherwise(doc_id_col)
+    )
+
+
+_PLANTED_FAMILY_SQL = """CASE WHEN doc_id < 200 THEN doc_id % 20
+                  WHEN doc_id < 260 THEN 200 + doc_id % 3
+                  ELSE doc_id END"""
+
+
+def _planted_family_docs(spark, sf_dir):
+    """documents with text REPLACED by a family-coded token triple: docs in
+    the same family get byte-identical text; families never share a token
+    (the family code is digit-free via translate, so the \\w+ tokenizer
+    can't split it off). Exact-duplicate families are therefore exactly the
+    clusters any correct minhash→LSH pipeline must recover — the q47/q49
+    closed-form-fixture trick applied to dedup."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sigs = dedup.minhash_signatures(d, "doc_id", "text", unit="token").persist()
+    enc = F.translate(
+        _planted_family(F.col("doc_id")).cast("string"),
+        "0123456789", "abcdefghij",
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("zq"), enc, F.lit("alpha zq"), enc, F.lit("beta zq"),
+            enc, F.lit("gamma"),
+        ).alias("text"),
+    )
+
+
+def q42_dup_clusters(spark, sf_dir):
+    # Linear-output dedup for dense corpora: (doc_id, cluster_id) via
+    # min-label propagation over LSH band buckets — the 100 TB alternative
+    # to pairwise enumeration, whose output is Θ(Σ cluster²) rows.
+    # ORACLED via planted duplicate families: the input texts are planted
+    # so that identical-text families are exactly the connected components,
+    # and DuckDB predicts (cluster_id = min(doc_id), n_members = family
+    # size) with a GROUP BY — no minhash. The engine still runs the REAL
+    # pipeline (vectorized signatures → banded buckets → 3-round min-label
+    # propagation); a banding, join, or propagation bug breaks the hash
+    # match. Real-text behavior stays covered by the union-find equivalence
+    # and recall gates in tests/test_lsh_quality.py.
+    planted = _planted_family_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(planted, "doc_id", "text", unit="token").persist()
     sigs.count()
     clusters = dedup.minhash_dup_clusters(sigs, iterations=3)
     res = (
@@ -966,6 +1023,28 @@ def q42_dup_clusters(spark, sf_dir):
         .persist()
     )
     res.count()  # materialize (dup_clusters already materialized labels)
+    sigs.unpersist()
+    return res
+
+
+def q51_lsh_planted_pairs(spark, sf_dir):
+    # The banded-LSH join machinery under a closed-form oracle: planted
+    # identical-text families give identical signatures, so EVERY band
+    # collides within a family (est_jaccard = 1.0) and — with disjoint
+    # token sets across families — no band collides between families. The
+    # expected output is therefore exactly the within-family pair set,
+    # which DuckDB computes from the family arithmetic alone. Exercises
+    # minhash_signatures + banding + bucket self-join + the ride-along
+    # signature estimate end-to-end with a hash-verified result.
+    planted = _planted_family_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(planted, "doc_id", "text", unit="token").persist()
+    sigs.count()
+    res = (
+        dedup.minhash_lsh_estimated_pairs(sigs)
+        .orderBy("id_a", "id_b")
+        .persist()
+    )
+    res.count()
     sigs.unpersist()
     return res
 
@@ -1057,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_link_harvest": q43_link_harvest,
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
+        "q51_lsh_planted_pairs": q51_lsh_planted_pairs,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1228,7 +1308,9 @@ _ORACLES: dict[str, str] = {
                round(len(list_intersect(l.t, r.t))::DOUBLE
                      / len(list_distinct(list_concat(l.t, r.t))), 4) AS jaccard
         FROM toks l JOIN toks r ON l.block = r.block AND l.id < r.id
-        WHERE len(list_distinct(list_concat(l.t, r.t))) > 0
+        WHERE l.block IN (SELECT block FROM toks
+                          GROUP BY block HAVING count(*) <= 100000)
+          AND len(list_distinct(list_concat(l.t, r.t))) > 0
           AND round(len(list_intersect(l.t, r.t))::DOUBLE
                     / len(list_distinct(list_concat(l.t, r.t))), 4) >= 0.8
         ORDER BY id_a, id_b
@@ -1593,9 +1675,34 @@ _ORACLES: dict[str, str] = {
                      / (sqrt(list_dot_product(a.e, a.e))
                         * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.e, b.e)
+        WHERE a.label IN (SELECT label FROM v
+                          GROUP BY label HAVING count(*) <= 100000)
+          AND round(list_dot_product(a.e, b.e)
                     / (sqrt(list_dot_product(a.e, a.e))
                        * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+        ORDER BY id_a, id_b
+    """,
+    # q42/q51: planted-duplicate-family closed forms — the oracle predicts
+    # the minhash→LSH pipeline's output from the family arithmetic alone
+    # (identical planted texts per family, disjoint token sets across
+    # families ⇒ clusters/pairs == the family partition; see
+    # _planted_family_docs). No minhash in the oracle.
+    "q42_dup_clusters": f"""
+        WITH fam AS (
+          SELECT doc_id,
+                 {_PLANTED_FAMILY_SQL} AS fam
+          FROM documents)
+        SELECT min(doc_id) AS cluster_id, count(*)::BIGINT AS n_members
+        FROM fam GROUP BY fam
+        ORDER BY n_members DESC, cluster_id
+    """,
+    "q51_lsh_planted_pairs": f"""
+        WITH fam AS (
+          SELECT doc_id,
+                 {_PLANTED_FAMILY_SQL} AS fam
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS est_jaccard
+        FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
     """,
     "q35_macro_averaged_stats": """

@@ -44,8 +44,8 @@ BENCH_QUERIES = [
 
 # rates keep climbing for ~6 passes on a cold JVM (codegen JIT + Python
 # worker pool + GC heap ramp) — measured r3: passes 1..8 at local[32] were
-# 47k/75k/86k/106k/115k/93k/125k/127k turns/s. 6 warmups + best-of-4 lands
-# on the plateau; the scaling harness uses the same protocol.
+# 47k/75k/86k/106k/115k/93k/125k/127k turns/s. 6 warmups + best-of-6 lands
+# on the plateau; the scaling harness uses the same warmup count.
 WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", 6))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", 6))
 

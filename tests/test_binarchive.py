@@ -125,6 +125,81 @@ def test_zip_bomb_guard_truncates():
     assert all(r["status"] == "ok" for r in rows[:-1])
 
 
+def test_root_detect_only_emits_unsupported_row():
+    """A root payload in a detected-but-unopenable format (7z/rar) must
+    surface as one status row, not vanish (taxonomy parity with the nested
+    case). Genuinely non-container roots still return no rows."""
+    sevenz = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32
+    rows = ba.unpack_one("root7z", sevenz, max_depth=3)
+    assert len(rows) == 1
+    assert rows[0]["status"] == "unsupported"
+    assert rows[0]["detected_type"] == ba.MIME_7Z
+    assert rows[0]["n_bytes"] == len(sevenz)
+    rar = b"Rar!\x1a\x07\x00" + b"\x00" * 16
+    assert ba.unpack_one("r", rar, max_depth=3)[0]["status"] == "unsupported"
+    assert ba.unpack_one("t", b"plain text payload", max_depth=3) == []
+
+
+def test_member_bytes_cap_gzip_bomb():
+    """50 KB gzip expanding to 50 MB: the bounded decompressor must stop at
+    the cap, never materializing the payload (the real OOM vector)."""
+    bomb = ba.make_gzip(b"\x00" * (50 * 1024 * 1024))
+    assert len(bomb) < 100 * 1024  # it really is a bomb
+    rows = ba.unpack_one("bomb", bomb, max_member_bytes=1024 * 1024)
+    assert len(rows) == 1
+    assert rows[0]["status"] == "too-large"
+    assert rows[0]["member_bytes"] is None and rows[0]["member_text"] is None
+    # under the cap the same payload round-trips fine
+    small = ba.make_gzip(b"ok " * 10)
+    assert ba.unpack_one("s", small, max_member_bytes=1024)[0]["status"] == "ok"
+
+
+def test_member_bytes_cap_zip_declared_size():
+    """Zip members over the cap are skipped by DECLARED size — only a sniff
+    head is read — and the too-large row still carries size + sniffed type;
+    siblings under the cap extract normally."""
+    big = b"A" * (2 * 1024 * 1024)
+    z = ba.make_zip([("big.txt", big), ("small.txt", b"tiny")])
+    rows = ba.unpack_one("arc", z, max_member_bytes=1024 * 1024)
+    by_status = {r["status"]: r for r in rows}
+    assert set(by_status) == {"too-large", "ok"}
+    tl = by_status["too-large"]
+    assert tl["member_bytes"] is None
+    assert tl["n_bytes"] == len(big)  # declared size reported
+    assert tl["detected_type"] == sniff.MIME_PLAIN  # sniffed from the head
+    assert by_status["ok"]["member_text"] == "tiny"
+
+
+def test_member_bytes_cap_tar():
+    big = b"B" * (512 * 1024)
+    t = ba.make_tar([("big", big), ("ok", b"fine")])
+    rows = ba.unpack_one("t", t, max_member_bytes=64 * 1024)
+    statuses = sorted(r["status"] for r in rows)
+    assert statuses == ["ok", "too-large"]
+
+
+def test_total_bytes_cap_across_members():
+    """Cumulative cap: many under-the-member-cap entries still can't exceed
+    max_total_bytes in aggregate — overflowing members become too-large rows."""
+    members = [(f"m{i}", bytes([65 + i]) * 100_000) for i in range(10)]
+    z = ba.make_zip(members)
+    rows = ba.unpack_one("arc", z, max_total_bytes=350_000)
+    ok = [r for r in rows if r["status"] == "ok"]
+    too = [r for r in rows if r["status"] == "too-large"]
+    assert len(ok) == 3 and len(too) == 7  # 3 × 100 KB fit under 350 KB
+    assert all(r["member_bytes"] is None for r in too)
+
+
+def test_bounded_decompress_multistream_parity():
+    """Concatenated gzip streams decode like gzip.decompress (the pre-cap
+    semantics) when under the cap."""
+    import gzip as _gz
+
+    data = ba.make_gzip(b"first|") + ba.make_gzip(b"second")
+    out, overflowed = ba._bounded_decompress(ba.MIME_GZIP, data, 1 << 20)
+    assert not overflowed and out == _gz.decompress(data) == b"first|second"
+
+
 def test_explode_binary_members_spark(spark):
     import pandas as pd
 

@@ -202,6 +202,44 @@ def test_hot_bucket_cap_bounds_pair_output(spark):
     sigs.unpersist()
 
 
+def test_ngram_block_cap_bounds_pair_output(spark):
+    """Degenerate single-block corpus: every doc shares one natural key, so
+    uncapped ngram_jaccard_pairs goes O(n²) in that block. max_block_size
+    skips the hot block (same contract as minhash_lsh_pairs); a small block
+    under the cap still produces its pairs."""
+    rows = [(i, "identical boilerplate text body", "en") for i in range(60)]
+    rows += [(100, "unique snippet about catalyst", "fr"),
+             (101, "unique snippet about catalyst", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "lang").count()
+    assert uncapped >= 60 * 59 / 2
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", "lang", max_block_size=10
+    ).toPandas()
+    pairs = set(zip(capped.id_a, capped.id_b))
+    assert pairs == {(100, 101)}  # hot "en" block skipped, small block kept
+
+
+def test_exact_duplicates_mega_family_bounded(spark):
+    """10⁵ copies of one text: the ids column must stay capped (no unbounded
+    collect_list row) while counts stay exact; small families unaffected."""
+    n = 100_000
+    df = (
+        spark.range(n).selectExpr("id", "'same text' AS text")
+        .union(spark.range(n, n + 2).selectExpr("id", "concat('u', id) AS text"))
+    )
+    out = dedup.exact_duplicates(df, "id", "text", max_ids=50).toPandas()
+    fam = out[out.n_copies == n].iloc[0]
+    assert fam.keep_id == 0
+    assert len(fam.ids) == 50 and bool(fam.ids_truncated)
+    assert list(fam.ids) == list(range(50))  # first max_ids ascending
+    small = out[out.n_copies == 1]
+    assert len(small) == 2
+    assert all(not t for t in small.ids_truncated)
+
+
 def test_ann_lsh_recall_clustered(spark):
     """Multi-table hyperplane LSH must reach recall ≥ 0.9 where embeddings
     have real neighbor structure (clusters with within-cluster cos ~0.9)."""
@@ -286,3 +324,29 @@ def test_ivf_training_deterministic(spark):
     c1 = similarity.train_ivf_centroids(emb, n_centroids=8, sample=256)
     c2 = similarity.train_ivf_centroids(emb, n_centroids=8, sample=256)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_train_sample_plan_is_filtered(spark):
+    """The 100 TB shape: the codebook's ordered-top-k must rank a
+    hash-filtered subset — the TakeOrderedAndProject sits ABOVE a
+    deterministic pmod(xxhash64(id), mod) filter, never over the raw
+    corpus — and the filtered draw is layout-independent."""
+    df = spark.range(2000).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f) AS embedding"
+    )
+    plan = (
+        similarity._ivf_train_sample_plan(df, "vec_id", "embedding", 64, 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan
+    assert "TakeOrderedAndProject" in plan
+    # plan prints top-down: the Take appears above (before) the filter,
+    # i.e. it consumes already-filtered rows
+    assert plan.index("TakeOrderedAndProject") < plan.index("xxhash64")
+
+    # layout independence: same rows regardless of partitioning
+    a = similarity._ivf_train_sample_plan(df, "vec_id", "embedding", 64, 64).collect()
+    b = similarity._ivf_train_sample_plan(
+        df.repartition(7), "vec_id", "embedding", 64, 64
+    ).collect()
+    assert a == b and 0 < len(a) <= 64

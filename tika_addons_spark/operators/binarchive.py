@@ -17,9 +17,17 @@ This is the X10 operator over GENUINE archive bytes — the reference's
 
 Python's stdlib covers zip (``zipfile``), tar (``tarfile``), gz (``gzip``),
 bz2 (``bz2``) and xz (``lzma``) with no new dependencies; 7z/rar/lz4 have no
-stdlib codec and are detected-but-not-unpacked (status ``unsupported``),
-mirroring how the reference logs-and-skips formats its PackageParser build
-lacks.
+stdlib codec and are detected-but-not-unpacked (status ``unsupported``) —
+whether nested OR at the root — mirroring how the reference logs-and-skips
+formats its PackageParser build lacks.
+
+Decompression-bomb posture (this kernel runs on arbitrary base64 data-URI
+turn bytes): three independent caps, each degrading to a status row rather
+than an executor OOM — ``max_members`` (row count, ``truncated``),
+``max_member_bytes`` (single decompressed member; zip/tar declared size is
+checked *before* read, stream wrappers decompress incrementally with a hard
+output bound, ``too-large``), and ``max_total_bytes`` (cumulative
+decompressed volume across the nested expansion, ``too-large``).
 
 Per-entry feature rows mirror ``ZipFeatureDumper.java:142-207`` (X7):
 name, detected type, byte length, sha256 over the raw bytes.
@@ -41,6 +49,7 @@ import io
 import lzma
 import tarfile
 import zipfile
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -153,30 +162,98 @@ def make_xz(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 # unpack side
 # ---------------------------------------------------------------------------
-def _list_members(kind: str, data: bytes) -> list[tuple[str, bytes]]:
-    """Entries of one container. Raises on malformed input (caller guards)."""
-    if kind == MIME_ZIP:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            return [
-                (zi.filename, zf.read(zi))
-                for zi in zf.infolist()
-                if not zi.is_dir()
-            ]
-    if kind == MIME_TAR:
-        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
-            out = []
-            for ti in tf.getmembers():
-                if ti.isfile():
-                    f = tf.extractfile(ti)
-                    out.append((ti.name, f.read() if f is not None else b""))
-            return out
+#: per-member decompressed-size cap (decompression-bomb guard). A 50 KB gzip
+#: payload can expand 1000×; nothing in max_members bounds *bytes*, so every
+#: read below is size-checked (zip/tar: declared size before read; stream
+#: wrappers: bounded incremental decompress).
+DEFAULT_MAX_MEMBER_BYTES = 64 * 1024 * 1024
+#: cumulative decompressed-bytes cap across the whole (nested) expansion
+DEFAULT_MAX_TOTAL_BYTES = 256 * 1024 * 1024
+
+_SNIFF_HEAD = 265  # enough for every magic above (tar's is at offset 257)
+
+
+def _new_decompressor(kind: str):
     if kind == MIME_GZIP:
-        return [("", gzip.decompress(data))]
+        return zlib.decompressobj(wbits=31)
     if kind == MIME_BZIP2:
-        return [("", bz2.decompress(data))]
-    if kind == MIME_XZ:
-        return [("", lzma.decompress(data))]
+        return bz2.BZ2Decompressor()
+    return lzma.LZMADecompressor()
+
+
+def _bounded_decompress(kind: str, data: bytes, limit: int) -> tuple[bytes, bool]:
+    """Decompress a gz/bz2/xz payload emitting at most ``limit`` output bytes.
+
+    Returns ``(payload, overflowed)``; on overflow ``payload`` holds only the
+    prefix needed for content re-detection. Handles concatenated streams
+    (``gzip.decompress`` semantics); raises on malformed/truncated input so
+    the caller's corrupt taxonomy is unchanged."""
+    out = bytearray()
+    feed = data
+    while True:  # one iteration per concatenated stream
+        d = _new_decompressor(kind)
+        while not d.eof:
+            chunk = d.decompress(feed, limit + 1 - len(out))
+            out += chunk
+            if len(out) > limit:
+                return bytes(out[:_SNIFF_HEAD]), True
+            feed = getattr(d, "unconsumed_tail", b"")
+            if not chunk and not feed and d.eof is False:
+                raise EOFError("truncated stream")
+        feed = feed or d.unused_data
+        if not feed:
+            return bytes(out), False
+
+
+def _list_members(
+    kind: str, data: bytes, max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES
+) -> list[tuple[str, bytes | None, int]]:
+    """Entries of one container as ``(name, bytes_or_None, size)``. ``None``
+    bytes = member exceeded ``max_member_bytes`` and was NOT materialized
+    (only a sniff head is read for type detection). Raises on malformed
+    input (caller guards)."""
+    if kind == MIME_ZIP:
+        out = []
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for zi in zf.infolist():
+                if zi.is_dir():
+                    continue
+                if zi.file_size > max_member_bytes:  # checked BEFORE read
+                    with zf.open(zi) as f:
+                        head = f.read(_SNIFF_HEAD)
+                    out.append((zi.filename, _TooLarge(head), zi.file_size))
+                else:
+                    out.append((zi.filename, zf.read(zi), zi.file_size))
+        return out
+    if kind == MIME_TAR:
+        out = []
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for ti in tf.getmembers():
+                if not ti.isfile():
+                    continue
+                f = tf.extractfile(ti)
+                if ti.size > max_member_bytes:
+                    head = f.read(_SNIFF_HEAD) if f is not None else b""
+                    out.append((ti.name, _TooLarge(head), ti.size))
+                else:
+                    out.append((ti.name, f.read() if f is not None else b"", ti.size))
+        return out
+    if kind in (MIME_GZIP, MIME_BZIP2, MIME_XZ):
+        payload, overflowed = _bounded_decompress(kind, data, max_member_bytes)
+        if overflowed:
+            return [("", _TooLarge(payload), max_member_bytes + 1)]
+        return [("", payload, len(payload))]
     raise ValueError(f"not a container: {kind}")
+
+
+class _TooLarge:
+    """Marker for a member that blew the byte cap; carries only the sniff
+    head so ``detect_bytes`` can still type it."""
+
+    __slots__ = ("head",)
+
+    def __init__(self, head: bytes):
+        self.head = head
 
 
 def _decode_text(data: bytes) -> str | None:
@@ -192,6 +269,8 @@ def unpack_one(
     max_depth: int = 3,
     emit_containers: bool = False,
     max_members: int = 100_000,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    max_total_bytes: int = DEFAULT_MAX_TOTAL_BYTES,
 ) -> list[dict]:
     """Pure-Python kernel (single source of truth, testable without Spark):
     flatten one binary payload into member rows.
@@ -205,32 +284,58 @@ def unpack_one(
     - nested containers expand breadth-first to ``max_depth`` (standing in
       for the reference's re-sweep of emitted children);
     - malformed containers emit one ``status='corrupt'`` row and never
-      raise; detected-only formats (7z/rar) emit ``status='unsupported'``;
-    - ``max_members`` is the zip-bomb guard: expansion stops (status
-      ``truncated``) rather than OOMing an executor.
+      raise; detected-only formats (7z/rar) emit ``status='unsupported'``
+      — including a root payload that IS one of those formats (one status
+      row, not silent drop); non-container root payloads return no rows;
+    - bomb guards, all surfacing as status rows instead of executor OOM:
+      ``max_members`` caps row count (status ``truncated``);
+      ``max_member_bytes`` caps any single decompressed member (zip/tar:
+      declared size checked BEFORE read; gz/bz2/xz: bounded incremental
+      decompress) and ``max_total_bytes`` caps the cumulative decompressed
+      volume of the whole nested expansion — both yield ``too-large`` rows
+      carrying the declared size and a content-sniffed type but NO bytes.
     """
     rows: list[dict] = []
     ctype = detect_bytes(data)
+    if ctype in DETECT_ONLY:
+        # root payload is a recognized container we can't open: surface it
+        # (same taxonomy as a nested 7z/rar member), don't drop it
+        return [
+            _row(-1, name, None, None, ctype, 0, True, len(data or b""),
+                 "unsupported")
+        ]
     if ctype not in UNPACKABLE:
         return rows
+    total_out = 0
     work: list[tuple[str, bytes, int]] = [(name, data or b"", 0)]
     while work:
         cname, cdata, depth = work.pop(0)
         kind = detect_bytes(cdata)
         try:
-            members = _list_members(kind, cdata)
+            members = _list_members(kind, cdata, max_member_bytes)
         except Exception as e:  # noqa: BLE001 — never fail the job (X5)
             rows.append(
                 _row(-1, cname, None, None, kind, depth, True, 0,
                      f"corrupt:{type(e).__name__}")
             )
             continue
-        for count, (mname, mdata) in enumerate(members):
+        for count, (mname, mdata, msize) in enumerate(members):
             if len(rows) >= max_members:
                 rows.append(
                     _row(-1, cname, None, None, kind, depth, True, 0, "truncated")
                 )
                 return rows
+            if isinstance(mdata, _TooLarge) or total_out + msize > max_total_bytes:
+                head = mdata.head if isinstance(mdata, _TooLarge) else mdata[:_SNIFF_HEAD]
+                mtype = detect_bytes(head)
+                child_name = f"{cname}-{count}{_EXT.get(mtype, '.bin')}"
+                rows.append(
+                    _row(count, child_name, None, None, mtype, depth + 1,
+                         mtype in UNPACKABLE or mtype in DETECT_ONLY,
+                         msize, "too-large")
+                )
+                continue
+            total_out += msize
             mtype = detect_bytes(mdata)
             child_name = f"{cname}-{count}{_EXT.get(mtype, '.bin')}"
             if mtype in UNPACKABLE and depth + 1 < max_depth:

@@ -40,17 +40,36 @@ from ..functions.stats import tokens_col
 # ---------------------------------------------------------------------------
 # exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of byte-identical texts: (digest, keep_id, n_copies, ids).
-    keep_id = min id (deterministic survivor)."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("digest"))
-        .groupBy("digest")
-        .agg(
-            F.min("id").alias("keep_id"),
-            F.count("*").alias("n_copies"),
-            F.sort_array(F.collect_list("id")).alias("ids"),
-        )
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_ids: int = 1000
+) -> DataFrame:
+    """Groups of byte-identical texts: (digest, keep_id, n_copies, ids,
+    ids_truncated). keep_id = min id (deterministic survivor).
+
+    ``ids`` is BOUNDED to the first ``max_ids`` members (ascending): exact
+    dedup exists precisely because corpora contain mega-families (millions
+    of copies of an empty/boilerplate doc), and an unbounded
+    ``collect_list`` would build that family as one giant aggregation-buffer
+    row. The bound is enforced *before* aggregation (a rank within the
+    digest is null-ed past the cap and ``collect_list`` skips nulls), so the
+    buffer never holds more than ``max_ids`` entries — not a slice applied
+    after an unbounded collect. The rank's window shares the groupBy's
+    hash-partitioning on digest, so the plan still has exactly one
+    exchange; the trade is losing map-side partial aggregation, the same
+    shuffle volume :func:`dedup_exact` already pays."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy("id")
+    ranked = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("digest")
+    ).withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("digest").agg(
+        F.min("id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("id")))
+        ).alias("ids"),
+        (F.count("*") > max_ids).alias("ids_truncated"),
     )
 
 
@@ -503,18 +522,35 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_col: str,
     threshold: float = 0.8,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over candidate pairs blocked on ``block_col``
     (language, domain, length bucket...). The block join bounds the pair
     count but is O(n²) *within* a block — kept because it is fully
     SQL-expressible (the q20 oracle). The scale path is
     :func:`jaccard_verify_pairs` over :func:`minhash_lsh_pairs` candidates
-    (q41), where no all-pairs join exists at any grain."""
+    (q41), where no all-pairs join exists at any grain.
+
+    ``max_block_size`` is the hot-block guard this operator needs the moment
+    natural keys skew (at web scale the "en" block IS the corpus): blocks
+    with more members than the cap are skipped entirely — same contract and
+    same mechanism as :func:`minhash_lsh_pairs`'s ``max_bucket_size`` — so
+    pair output stays ≤ Σ min(block, cap)² instead of going quadratic in the
+    hottest key. Skipped blocks are by construction the ones that should be
+    handled by LSH (q41) or cluster labeling (q42), not pairwise SQL."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         F.array_distinct(F.array_sort(tokens_col(text_col))).alias("toks"),
     )
+    if max_block_size is not None:
+        ok = (
+            toks.groupBy("block")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_block_size)
+            .select("block")
+        )
+        toks = toks.join(ok, "block", "left_semi")
     l, r = toks.alias("l"), toks.alias("r")
     inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
     union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))

@@ -597,10 +597,11 @@ def _image_feature(px: "np.ndarray") -> list[float]:
 
 def real_feature(payload: bytes) -> "list[float] | None":
     """FEATURE_DIM floats from REAL decoded content, or None when no real
-    decoder exists for the format (gif/jpeg/unknown).
+    decoder exists for the format (jpeg/unknown).
 
-    PNG: per-channel mean/std over decoded pixels + a 2×2 luminance grid +
-    aspect — an honest (if simple) visual embedding. WAV: rms, zero-crossing
+    PNG and GIF: per-channel mean/std over decoded pixels + a 2×2 luminance
+    grid + aspect — an honest (if simple) visual embedding (GIF via the
+    from-scratch LZW codec in :func:`decode_gif`). WAV: rms, zero-crossing
     rate, duration and 8-bin mean-|amplitude| profile."""
     mt = sniff_media(payload)
     if mt in ("image/png", "image/gif"):
@@ -644,11 +645,10 @@ def extract_media_features(
     digest-seeded features for every payload, ``decoded`` = false.
 
     ``decode_stub=False``: REAL decode where a pure-Python decoder exists —
-    PNG pixels (zlib + all five scanline filters) and WAV PCM samples — with
-    content-derived features and ``decoded`` = true; formats without a
-    stdlib-decodable codec (gif needs LZW tables we consider out of scope,
-    jpeg needs a DCT pipeline) fall back to the digest feature with
-    ``decoded`` = false. No NotImplementedError anywhere: the seam degrades
+    PNG pixels (zlib + all five scanline filters), GIF pixels (from-scratch
+    LZW codec) and WAV PCM samples — with content-derived features and
+    ``decoded`` = true; JPEG is the one remaining fallback (digest feature,
+    ``decoded`` = false). No NotImplementedError anywhere: the seam degrades
     per row, never fails the job (X5 discipline)."""
 
     def batch(it):

@@ -198,6 +198,24 @@ def cosine_topk_lsh(
 # into inverted lists; queries probe the n_probe nearest lists and exact
 # cosine re-ranks candidates only.
 # ---------------------------------------------------------------------------
+def _ivf_train_sample_plan(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample: int,
+    sample_mod: int | None,
+) -> DataFrame:
+    """The bounded training-sample plan. With ``sample_mod``, a
+    deterministic, layout-independent hash filter
+    (``pmod(xxhash64(id), sample_mod) == 0``) runs in the scan stage, so
+    the TakeOrderedAndProject ranks only ~1/sample_mod of the corpus
+    instead of feeding every row of a 100 TB table into the top-k heap."""
+    sel = corpus.select(id_col, vec_col)
+    if sample_mod is not None and sample_mod > 1:
+        sel = sel.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    return sel.orderBy(id_col).limit(sample)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -206,12 +224,27 @@ def train_ivf_centroids(
     sample: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    sample_mod: int | None = 64,
 ) -> np.ndarray:
-    """Spherical k-means codebook on a DETERMINISTIC bounded sample
-    (orderBy(id).limit(sample) — at 100 TB the codebook is trained on a
-    sample no matter the engine; k×d floats broadcast in the task closure,
-    exactly like FAISS IVF training)."""
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    """Spherical k-means codebook on a DETERMINISTIC bounded sample — at
+    100 TB the codebook is trained on a sample no matter the engine; k×d
+    floats broadcast in the task closure, exactly like FAISS IVF training.
+
+    The sample is drawn through a pushed-down hash filter
+    (:func:`_ivf_train_sample_plan`): deterministic regardless of
+    partition layout, and the full-corpus ordered-top-k only ever sees
+    ~1/sample_mod of the rows. If the filtered draw returns fewer than
+    ``sample`` rows (toy corpora, tests, sandbox SFs) it falls back to the
+    unfiltered bounded sample, which keeps small-scale output byte-stable
+    with the pre-filter behavior — two cheap scans at toy scale, one
+    filtered scan at 100 TB."""
+    rows = []
+    if sample_mod is not None and sample_mod > 1:
+        rows = _ivf_train_sample_plan(
+            corpus, id_col, vec_col, sample, sample_mod
+        ).collect()
+    if len(rows) < sample:
+        rows = _ivf_train_sample_plan(corpus, id_col, vec_col, sample, None).collect()
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     rng = np.random.RandomState(seed)
@@ -272,6 +305,7 @@ def cosine_topk_ivf(
     sample: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    sample_mod: int | None = 64,
 ) -> DataFrame:
     """IVF-Flat ANN: corpus vectors live in exactly ONE inverted list
     (nearest centroid); each query probes its ``n_probe`` nearest lists;
@@ -283,7 +317,7 @@ def cosine_topk_ivf(
     n_probe (n_probe == n_centroids degenerates to exact brute force) and
     is gated in tests/test_lsh_quality.py like the LSH path."""
     C = train_ivf_centroids(
-        corpus, id_col, vec_col, n_centroids, sample, iters, seed
+        corpus, id_col, vec_col, n_centroids, sample, iters, seed, sample_mod
     )
     lists = _ivf_assign(corpus, id_col, vec_col, C, 1, "neighbor_id")
     probes = _ivf_assign(queries, id_col, vec_col, C, n_probe, "query_id")
