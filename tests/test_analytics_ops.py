@@ -224,6 +224,26 @@ def test_gif_decode_roundtrip():
     assert multimodal._lzw_decode(multimodal._lzw_encode(data, 8), 8) == data
 
 
+def test_jpeg_decode_roundtrip():
+    """decode_jpeg must run the real baseline pipeline — Huffman tables read
+    from DHT, entropy decode, dequant through the zigzag, IDCT — and land
+    within quantization error of the encoder's input pixels."""
+    import numpy as np
+
+    for w, h in ((8, 8), (1, 1), (17, 5), (96, 48)):
+        px = multimodal.decode_jpeg(multimodal.make_jpeg(w, h))
+        assert px is not None and px.shape == (h, w, 1), (w, h)
+        ref = multimodal.synth_pixels(w, h)[:, :, 0].astype(np.float64)
+        err = np.abs(px[:, :, 0].astype(np.float64) - ref)
+        # flat-8 quant table: bounded lossy error, structurally faithful
+        assert err.max() <= 12 and err.mean() <= 2.0, (w, h, err.max())
+    # header-only/truncated/garbage → None, never raises
+    assert multimodal.decode_jpeg(b"\xff\xd8\xff\xe0 fake jpeg") is None
+    assert multimodal.decode_jpeg(b"not a jpeg") is None
+    good = multimodal.make_jpeg(32, 32)
+    assert multimodal.decode_jpeg(good[: len(good) // 2]) is None
+
+
 def test_wav_decode_roundtrip():
     import numpy as np
 
@@ -244,7 +264,7 @@ def test_real_media_features(spark):
         (1, multimodal.make_png(16, 8)),
         (2, multimodal.make_png(32, 32)),
         (3, multimodal.make_wav(300)),
-        (4, multimodal.make_jpeg(10, 10)),  # no DCT decoder → fallback
+        (4, multimodal.make_jpeg(10, 10)),  # real baseline huffman+IDCT
         (5, multimodal.make_gif(10, 10)),   # real LZW decode
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
@@ -252,8 +272,11 @@ def test_real_media_features(spark):
         r.id: r
         for r in multimodal.extract_media_features(df, decode_stub=False).collect()
     }
-    assert got[1].decoded and got[2].decoded and got[3].decoded and got[5].decoded
-    assert not got[4].decoded
+    assert all(got[i].decoded for i in (1, 2, 3, 4, 5))
+    # jpeg features come from actually-decoded pixels: near the lossless
+    # png reading of the same gradient, not the digest fallback
+    jp = multimodal.real_feature(rows[3][1])
+    assert got[4].feature == jp and jp != multimodal._fake_feature(rows[3][1])
     # the gif carries the same grayscale gradient as a png's red channel —
     # its luminance quadrants must match a grayscale reading of the pixels
     import numpy as np

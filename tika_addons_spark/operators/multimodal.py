@@ -7,15 +7,18 @@ bugzilla attachments ``BugzillaWorker.java:441``, zip-entry feature dumps
 image/audio/video as ``binary`` columns with a typed metadata struct, and
 decode/feature steps as Arrow-batched ``mapInPandas``.
 
-Decode status (round 3): PNG pixel decode (zlib inflate + all five RFC-2083
-scanline filters), GIF pixel decode (from-scratch GIF-variant LZW +
-palette), and WAV PCM decode (RIFF chunk walk, 8/16-bit) are REAL — pure
-stdlib/numpy, round-trip-tested against synthesizers that emit genuine
-compressed content. ``decode_stub=False`` uses them and emits
-content-derived features with a ``decoded`` flag; JPEG (needs a full
-huffman+DCT pipeline) is the one remaining fallback — flagged not-decoded
-per row, the job never fails (X5). The Spark-side plumbing — schema,
-batching, partitioning, UDF signature — is identical for both paths.
+Decode status (round 4): ALL four synthesized formats decode for REAL —
+PNG pixels (zlib inflate + all five RFC-2083 scanline filters), GIF pixels
+(from-scratch GIF-variant LZW + palette), JPEG pixels (from-scratch
+baseline sequential T.81: DQT/DHT parse, Huffman entropy decode, dequant,
+IDCT), and WAV PCM (RIFF chunk walk, 8/16-bit) — pure stdlib/numpy,
+round-trip-tested against synthesizers that emit genuine compressed
+content. ``decode_stub=False`` uses them and emits content-derived
+features with a ``decoded`` flag; malformed payloads and formats outside
+the decoders' envelopes (progressive/subsampled JPEG, interlaced PNG)
+fall back per row with ``decoded=false`` — the job never fails (X5). The
+Spark-side plumbing — schema, batching, partitioning, UDF signature — is
+identical for both paths.
 """
 
 from __future__ import annotations
@@ -86,8 +89,8 @@ def with_media_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL header kernels — pure-Python parsers of public container formats
 # (PNG/GIF/JPEG headers, RIFF/WAVE chunks). No decoder libs needed: these
-# read dimensions/duration straight from the byte layout, so the media path
-# has a real, testable kernel (the pixel/sample decode remains stubbed).
+# read dimensions/duration straight from the byte layout; the full
+# pixel/sample decoders live further down next to their synthesizers.
 # ---------------------------------------------------------------------------
 def parse_media_header(payload: bytes | None) -> dict:
     """(media_type, width, height, duration_ms) from container headers.
@@ -427,18 +430,170 @@ def decode_gif(payload: bytes) -> "np.ndarray | None":
         return None
 
 
+# --- JPEG: from-scratch baseline sequential codec (grayscale) ---------------
+# Public byte layout per ITU-T T.81: SOI/APP0/DQT/SOF0/DHT×2/SOS/scan/EOI.
+# The Huffman tables are written INTO the file (DHT), so they need not be the
+# Annex-K defaults: we use spec-valid fixed-width canonical tables (12 DC
+# symbols at 4 bits, the full 162-symbol AC alphabet at 8 bits — in both
+# cases the all-ones code stays unused, as T.81 Annex C requires). Quant is a
+# flat mild table, so the synthetic gradient round-trips within a small
+# error bound (asserted in tests). The decoder reads whatever tables the
+# file declares — it is a real baseline decoder, not an inverse of private
+# conventions (restart intervals unsupported; progressive/subsampled → None).
+
+def _jpeg_zigzag() -> "np.ndarray":
+    """The T.81 zigzag scan order as 64 flat indices into a row-major 8×8."""
+    order = []
+    for s in range(15):
+        if s % 2 == 0:  # even diagonals walk bottom-left → top-right
+            for i in range(min(s, 7), max(0, s - 7) - 1, -1):
+                order.append(i * 8 + (s - i))
+        else:
+            for i in range(max(0, s - 7), min(s, 7) + 1):
+                order.append(i * 8 + (s - i))
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _dct_mat() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II matrix: coeffs = M @ block @ M.T."""
+    x = np.arange(8, dtype=np.float64)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m
+
+
+_DCT_M = _dct_mat()
+
+#: flat mild luminance quant table (stored in the file; small steps keep the
+#: synthetic-gradient round-trip error bounded for the tests)
+_JPEG_Q = np.full(64, 8, dtype=np.int32)
+
+# canonical fixed-width Huffman alphabets (see module comment above)
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12        # 12 symbols, all 4 bits
+_JPEG_DC_VALS = list(range(12))                  # DC size categories 0..11
+_JPEG_AC_VALS = (
+    [0x00]                                       # EOB
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]                                     # ZRL
+)
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)            # 162 symbols, all 8 bits
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by T.81 Annex C canonical generation."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        # keep acc a small int — without the mask it accumulates every bit
+        # ever written and the shifts above go quadratic in stream length
+        self.acc &= (1 << self.n) - 1
+
+    def finish(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
 def make_jpeg(width: int, height: int) -> bytes:
+    """Genuine baseline sequential grayscale JFIF with REAL entropy-coded
+    scan data: the deterministic gradient (``synth_pixels`` red channel) is
+    level-shifted, 8×8 DCT-transformed, quantized and Huffman-coded from
+    scratch. ``decode_jpeg`` reads it back from the declared tables."""
     import struct
 
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
-    sof0 = (
-        b"\xff\xc0"
-        + struct.pack(">H", 11)
-        + b"\x08"
-        + struct.pack(">HH", height, width)
-        + b"\x01"
+    gray = synth_pixels(width, height)[:, :, 0].astype(np.float64)
+    ph = (-height) % 8
+    pw = (-width) % 8
+    g = np.pad(gray, ((0, ph), (0, pw)), mode="edge") - 128.0
+    nby, nbx = g.shape[0] // 8, g.shape[1] // 8
+    blocks = g.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
+    q = np.rint(coeffs.reshape(nby * nbx, 64)[:, _ZIGZAG] / _JPEG_Q[None, :]).astype(np.int64)
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    dc_prev = 0
+    for blk in q:
+        diff = int(blk[0]) - dc_prev
+        dc_prev = int(blk[0])
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            c = int(blk[k])
+            if c == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+            size = abs(c).bit_length()
+            code, length = ac_codes[(run << 4) | size]
+            w.write(code, length)
+            w.write(c if c >= 0 else c + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
+    scan = w.finish()
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
     )
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
+        int(x) for x in _JPEG_Q
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
 
 
 def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
@@ -466,9 +621,197 @@ def synth_samples(n: int) -> "np.ndarray":
 # PNG: full pixel decode (zlib inflate + the five RFC-2083 scanline filters)
 # for 8-bit RGB/RGBA/grayscale, non-interlaced. GIF: from-scratch GIF-variant
 # LZW (LSB-first, CLEAR/END, 12-bit cap) + palette lookup (decode_gif below,
-# next to the codec). WAV: PCM sample decode (8/16 bit). JPEG (needs a
-# huffman+DCT pipeline) stays stubbed — documented, not hidden.
+# next to the codec). WAV: PCM sample decode (8/16 bit). JPEG: baseline
+# sequential Huffman+IDCT decode (decode_jpeg below, next to the encoder);
+# progressive/subsampled/restart-interval streams return None.
 # ---------------------------------------------------------------------------
+def decode_jpeg(payload: bytes) -> "np.ndarray | None":
+    """(height, width, channels) uint8 from a baseline sequential JFIF, or
+    None if not decodable. Real T.81 machinery: DQT/DHT tables are read
+    from the file (any spec-valid tables, not just ours), entropy data is
+    un-stuffed and Huffman-decoded per 8×8 block, dequantized through the
+    zigzag, and reconstructed with the orthonormal IDCT. Supported: 8-bit
+    SOF0/SOF1, 1 or 3 components with no chroma subsampling (h=v=1), no
+    restart intervals; anything else → None, never raises."""
+    try:
+        b = payload
+        if not b.startswith(b"\xff\xd8"):
+            return None
+        pos = 2
+        qtables: dict[int, np.ndarray] = {}
+        htables: dict[tuple[int, int], dict] = {}
+        frame = None
+        scan_comps = None
+        scan_start = None
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:
+                break
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            body = b[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT (may hold several tables)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline
+                    qtables[tq] = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 65
+            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+                prec, h, w = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big")
+                if prec != 8:
+                    return None
+                ncomp = body[5]
+                comps = []
+                for c in range(ncomp):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:
+                        return None  # subsampling unsupported
+                    comps.append((cid, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xC4:  # DHT (may hold several tables)
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + n])
+                    dec = {}
+                    code, k = 0, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            dec[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    htables[(tc, th)] = dec
+                    i += 17 + n
+            elif marker == 0xDD:  # DRI
+                if int.from_bytes(body[:2], "big") != 0:
+                    return None  # restart intervals unsupported
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan_comps = [
+                    (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+                    for c in range(ns)
+                ]
+                scan_start = pos + 2 + seg_len
+                break
+            pos += 2 + seg_len
+        if frame is None or scan_comps is None:
+            return None
+        h, w, comps = frame
+        if h == 0 or w == 0 or len(comps) not in (1, 3):
+            return None
+        if len(scan_comps) != len(comps):
+            return None
+
+        # un-stuff the entropy stream up to the next marker
+        data = bytearray()
+        i = scan_start
+        while i < len(b):
+            c = b[i]
+            if c == 0xFF:
+                if i + 1 < len(b) and b[i + 1] == 0x00:
+                    data.append(0xFF)
+                    i += 2
+                    continue
+                break  # real marker terminates the scan
+            data.append(c)
+            i += 1
+
+        # bit reader state
+        bitpos = 0
+        nbits = len(data) * 8
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits:
+                raise EOFError
+            byte = data[bitpos >> 3]
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return bit
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def huff_decode(table: dict) -> int:
+            code, length = 0, 0
+            while length < 16:
+                code = (code << 1) | read_bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def extend(v: int, size: int) -> int:
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        nby, nbx = (h + 7) // 8, (w + 7) // 8
+        comp_q = []
+        comp_dc = []
+        comp_ac = []
+        for (cid, tq), (sid, td, ta) in zip(comps, scan_comps):
+            if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
+                return None
+            comp_q.append(qtables[tq])
+            comp_dc.append(htables[(0, td)])
+            comp_ac.append(htables[(1, ta)])
+        planes = [
+            np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in comps
+        ]
+        dc_prev = [0] * len(comps)
+        m = _DCT_M
+        inv_zz = _ZIGZAG
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(len(comps)):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = huff_decode(comp_dc[ci])
+                    diff = extend(read_bits(size), size) if size else 0
+                    dc_prev[ci] += diff
+                    zz[0] = dc_prev[ci]
+                    k = 1
+                    while k < 64:
+                        sym = huff_decode(comp_ac[ci])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63 or size == 0:
+                            return None
+                        zz[k] = extend(read_bits(size), size)
+                        k += 1
+                    coeff = np.zeros(64, dtype=np.float64)
+                    coeff[inv_zz] = zz * comp_q[ci]
+                    block = m.T @ coeff.reshape(8, 8) @ m
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        out = [np.clip(p[:h, :w] + 128.0, 0, 255) for p in planes]
+        if len(out) == 1:
+            return np.rint(out[0]).astype(np.uint8)[:, :, None]
+        y, cb, cr = out
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=-1)
+        return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
+    except Exception:
+        return None
 def decode_png(payload: bytes) -> "np.ndarray | None":
     """(height, width, channels) uint8, or None if not a decodable PNG.
     Never raises."""
@@ -596,16 +939,22 @@ def _image_feature(px: "np.ndarray") -> list[float]:
 
 
 def real_feature(payload: bytes) -> "list[float] | None":
-    """FEATURE_DIM floats from REAL decoded content, or None when no real
-    decoder exists for the format (jpeg/unknown).
+    """FEATURE_DIM floats from REAL decoded content, or None when the
+    payload is malformed or an unknown format (every synthesized format —
+    png/gif/jpeg/wav — now has a real decoder).
 
-    PNG and GIF: per-channel mean/std over decoded pixels + a 2×2 luminance
-    grid + aspect — an honest (if simple) visual embedding (GIF via the
-    from-scratch LZW codec in :func:`decode_gif`). WAV: rms, zero-crossing
-    rate, duration and 8-bin mean-|amplitude| profile."""
+    PNG, GIF and JPEG: per-channel mean/std over decoded pixels + a 2×2
+    luminance grid + aspect — an honest (if simple) visual embedding (GIF
+    via the from-scratch LZW codec in :func:`decode_gif`, JPEG via the
+    baseline Huffman+IDCT decoder in :func:`decode_jpeg`). WAV: rms,
+    zero-crossing rate, duration and 8-bin mean-|amplitude| profile."""
     mt = sniff_media(payload)
-    if mt in ("image/png", "image/gif"):
-        px = decode_png(payload) if mt == "image/png" else decode_gif(payload)
+    if mt in ("image/png", "image/gif", "image/jpeg"):
+        px = (
+            decode_png(payload) if mt == "image/png"
+            else decode_gif(payload) if mt == "image/gif"
+            else decode_jpeg(payload)
+        )
         if px is None:
             return None
         return _image_feature(px)
@@ -644,11 +993,12 @@ def extract_media_features(
     ``decode_stub=True`` (default, r1/r2 behavior): deterministic
     digest-seeded features for every payload, ``decoded`` = false.
 
-    ``decode_stub=False``: REAL decode where a pure-Python decoder exists —
-    PNG pixels (zlib + all five scanline filters), GIF pixels (from-scratch
-    LZW codec) and WAV PCM samples — with content-derived features and
-    ``decoded`` = true; JPEG is the one remaining fallback (digest feature,
-    ``decoded`` = false). No NotImplementedError anywhere: the seam degrades
+    ``decode_stub=False``: REAL decode for every synthesized format — PNG
+    pixels (zlib + all five scanline filters), GIF pixels (from-scratch LZW
+    codec), JPEG pixels (baseline Huffman+IDCT) and WAV PCM samples — with
+    content-derived features and ``decoded`` = true; malformed payloads and
+    out-of-envelope streams fall back to the digest feature with
+    ``decoded`` = false. No NotImplementedError anywhere: the seam degrades
     per row, never fails the job (X5 discipline)."""
 
     def batch(it):
