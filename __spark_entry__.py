@@ -751,6 +751,47 @@ def q49_embedded_member_extract(spark, sf_dir):
     )
 
 
+def q52_sevenz_rollup(spark, sf_dir):
+    # X10 stretch, oracled: per-doc GENUINE 7z bytes (from-scratch writer,
+    # Copy coder, raw header) containing a plain member and a nested zip
+    # with an xml member — the reader must parse the real 7z header tree,
+    # recurse through the zip, and content-re-detect each leaf. Member
+    # texts are closed-form in doc_id, so DuckDB predicts counts and byte
+    # totals without touching container bytes (the q47 trick for 7z).
+    import pandas as pd
+
+    from tika_addons_spark.operators import binarchive, sevenz
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                plain = b"x" * (i % 7 + 1)
+                xml = f'<?xml version="1.0"?>{i}'.encode()
+                inner_zip = binarchive.make_zip([("n.xml", xml)])
+                payloads.append(
+                    sevenz.make_7z([("t.txt", plain), ("in.zip", inner_zip)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+    members = binarchive.explode_binary_members(
+        media, ["doc_id"], "payload", max_depth=3
+    )
+    return (
+        members.filter(~F.col("is_container"))
+        .groupBy(F.col("detected_type").alias("member_type"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("member_type")
+    )
+
+
 def q43_link_harvest(spark, sf_dir):
     # X3: href harvest + deny-list + classification as pure column ops
     # (GithubScraper.java:165-219). Synthetic per-doc HTML is built
@@ -1137,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_lsh_verified_neardup": q41_lsh_verified_neardup,
         "q42_dup_clusters": q42_dup_clusters,
         "q51_lsh_planted_pairs": q51_lsh_planted_pairs,
+        "q52_sevenz_rollup": q52_sevenz_rollup,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1704,6 +1746,20 @@ _ORACLES: dict[str, str] = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS est_jaccard
         FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+    """,
+    # q52: the 7z reader under a closed-form oracle — member texts are
+    # functions of doc_id ('x' * (doc_id%7+1) plain; '<?xml version="1.0"?>'
+    # + doc_id as xml inside a nested zip), all ASCII so bytes == chars.
+    "q52_sevenz_rollup": """
+        SELECT member_type, n, total_bytes FROM (
+          SELECT 'text/plain' AS member_type, count(*)::BIGINT AS n,
+                 sum(doc_id % 7 + 1)::BIGINT AS total_bytes
+          FROM documents
+          UNION ALL
+          SELECT 'application/xml' AS member_type, count(*)::BIGINT AS n,
+                 sum(21 + length(CAST(doc_id AS VARCHAR)))::BIGINT AS total_bytes
+          FROM documents
+        ) ORDER BY member_type
     """,
     "q35_macro_averaged_stats": """
         WITH cell AS (

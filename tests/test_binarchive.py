@@ -109,12 +109,16 @@ def test_corrupt_archives_never_raise():
 
 
 def test_unsupported_formats_detected_not_unpacked():
-    sevenz = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32
-    z = ba.make_zip([("a.7z", sevenz), ("b", b"text")])
+    rar = b"Rar!\x1a\x07\x00" + b"\x00" * 32
+    z = ba.make_zip([("a.rar", rar), ("b", b"text")])
     rows = ba.unpack_one("arc", z, max_depth=3)
     by_type = {r["detected_type"]: r for r in rows}
-    assert by_type[ba.MIME_7Z]["status"] == "unsupported"
+    assert by_type[ba.MIME_RAR]["status"] == "unsupported"
     assert by_type[sniff.MIME_PLAIN]["status"] == "ok"
+    # a CORRUPT 7z nested in a healthy zip is corrupt (7z is unpackable now)
+    fake7z = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32
+    rows = ba.unpack_one("arc", ba.make_zip([("x.7z", fake7z)]), max_depth=3)
+    assert len(rows) == 1 and rows[0]["status"].startswith("corrupt:")
 
 
 def test_zip_bomb_guard_truncates():
@@ -126,17 +130,15 @@ def test_zip_bomb_guard_truncates():
 
 
 def test_root_detect_only_emits_unsupported_row():
-    """A root payload in a detected-but-unopenable format (7z/rar) must
+    """A root payload in a detected-but-unopenable format (rar) must
     surface as one status row, not vanish (taxonomy parity with the nested
     case). Genuinely non-container roots still return no rows."""
-    sevenz = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32
-    rows = ba.unpack_one("root7z", sevenz, max_depth=3)
+    rar = b"Rar!\x1a\x07\x00" + b"\x00" * 16
+    rows = ba.unpack_one("r", rar, max_depth=3)
     assert len(rows) == 1
     assert rows[0]["status"] == "unsupported"
-    assert rows[0]["detected_type"] == ba.MIME_7Z
-    assert rows[0]["n_bytes"] == len(sevenz)
-    rar = b"Rar!\x1a\x07\x00" + b"\x00" * 16
-    assert ba.unpack_one("r", rar, max_depth=3)[0]["status"] == "unsupported"
+    assert rows[0]["detected_type"] == ba.MIME_RAR
+    assert rows[0]["n_bytes"] == len(rar)
     assert ba.unpack_one("t", b"plain text payload", max_depth=3) == []
 
 

@@ -60,10 +60,12 @@ HELDOUT = {
 }
 
 
-# harder held-out set: ALL 24 seeded languages, topics (night sky, doctor,
+# harder held-out set: ALL 32 seeded languages, topics (night sky, doctor,
 # music) deliberately absent from the seed paragraphs (village morning /
 # market cooking / office travel) — so this measures generalization of the
-# trigram tables, not seed-vocabulary recall.
+# trigram tables, not seed-vocabulary recall. Includes the confusable
+# families (uk/bg vs ru, sk vs cs, ca vs es/fr) where breadth actually
+# costs accuracy.
 HELDOUT_HARD = {
     "en": ["at night the stars were bright above the cold mountains and we counted them until we fell asleep",
            "the doctor told him to rest for a week and drink plenty of water"],
@@ -113,6 +115,22 @@ HELDOUT_HARD = {
            "医者は彼に一週間休んでたくさん水を飲むように言った"],
     "zh": ["夜里星星在寒冷的群山上闪闪发光我们一直数着它们直到睡着",
            "医生告诉他休息一个星期并且多喝水"],
+    "ko": ["밤에는 차가운 산 위에서 별들이 밝게 빛났고 우리는 잠들 때까지 별을 세었다",
+           "의사는 그에게 일주일 동안 쉬고 물을 많이 마시라고 말했다"],
+    "th": ["ตอนกลางคืนดวงดาวส่องแสงสว่างเหนือภูเขาที่หนาวเย็นและเรานับดาวจนหลับไป",
+           "หมอบอกให้เขาพักผ่อนหนึ่งสัปดาห์และดื่มน้ำมากๆ"],
+    "he": ["בלילה הכוכבים זהרו מעל ההרים הקרים וספרנו אותם עד שנרדמנו",
+           "הרופא אמר לו לנוח שבוע ולשתות הרבה מים"],
+    "uk": ["вночі зорі яскраво сяяли над холодними горами і ми рахували їх поки не заснули",
+           "лікар сказав йому відпочивати тиждень і пити багато води"],
+    "bg": ["през нощта звездите ярко блестяха над студените планини и ги брояхме докато заспим",
+           "лекарят му каза да почива една седмица и да пие много вода"],
+    "vi": ["ban đêm những ngôi sao sáng rực trên những ngọn núi lạnh và chúng tôi đếm chúng cho đến khi ngủ thiếp đi",
+           "bác sĩ bảo anh nghỉ một tuần và uống nhiều nước"],
+    "ca": ["a la nit les estrelles brillaven sobre les muntanyes fredes i les comptàvem fins que ens adormíem",
+           "el metge li va dir que descansés una setmana i que begués molta aigua"],
+    "sk": ["v noci hviezdy jasne žiarili nad studenými horami a počítali sme ich kým sme nezaspali",
+           "lekár mu povedal aby týždeň odpočíval a pil veľa vody"],
 }
 
 
@@ -127,10 +145,12 @@ def test_heldout_accuracy_at_least_95pct():
     assert correct / total >= 0.95, f"{correct}/{total}"
 
 
-def test_breadth_at_least_20_languages():
-    assert len(langid.LANG_SAMPLES) >= 20
+def test_breadth_at_least_30_languages():
+    assert len(langid.LANG_SAMPLES) >= 30
     # every seed is multi-paragraph (topic diversity, judge round-2 item)
     assert all(s.count("\n") >= 2 for s in langid.LANG_SAMPLES.values())
+    # every seeded language has an out-of-distribution held-out entry
+    assert set(HELDOUT_HARD) == set(langid.LANG_SAMPLES)
 
 
 def test_hard_heldout_macro_accuracy_at_least_090():

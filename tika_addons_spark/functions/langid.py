@@ -42,7 +42,7 @@ MIN_DIFF = 0.20
 PROBE_EVERY = 110
 
 # ---------------------------------------------------------------------------
-# seed corpora — authored multi-paragraph text per language, 24 languages
+# seed corpora — authored multi-paragraph text per language, 32 languages
 # (self-contained, written for this repo; no external data). Each language
 # gets three paragraphs on DIFFERENT topics (village morning / market and
 # cooking / city work and travel) so the trigram tables are not fit to one
@@ -474,6 +474,145 @@ LANG_SAMPLES: dict[str, str] = {
         "城里的火车挤满了带着包和电话的人从窗户望出去可以看到灰色天空下的"
         "工厂桥梁和一排排长长的房子工作结束得很晚但街道仍然被灯光和敞开的"
         "门里传出的音乐照得明亮"
+    ),
+    # round 4 breadth: +8 languages toward the reference's 70+, chosen to
+    # include the CONFUSABLE families that make breadth hard — uk/bg vs ru
+    # (Cyrillic), sk vs cs, ca vs es/fr — plus three new scripts (ko/th/he)
+    # and diacritic-dense Latin (vi). Same three-topic structure.
+    "ko": (
+        "아침 햇살이 마을 위로 떠오르고 아이들은 마당에서 뛰어놀며 "
+        "어머니는 갓 구운 빵과 버터와 꿀을 가져온다 벽에 걸린 오래된 "
+        "시계는 우리가 함께 보내는 시간을 세고 있고 우리는 먼 산과 "
+        "그곳에서 조용한 곳을 찾아 걷는 사람들의 이야기를 읽는다\n"
+        "시장에서 농부들은 사과와 양파와 치즈를 팔고 빵집 주인은 반죽이 "
+        "뜨거운 화덕에 들어가기 전에 얼마나 오래 쉬어야 하는지 설명한다 "
+        "좋은 국은 시간과 소금과 약간의 인내가 필요하다고 그녀는 말하고 "
+        "생선은 필요 이상으로 오래 끓이면 안 된다 우리는 일주일 동안 "
+        "먹을 달걀과 토마토와 쌀 한 포대를 샀다\n"
+        "월요일에 사무실은 새 프로젝트가 시작되어 바빴고 모두가 회의 "
+        "전에 보고서를 읽고 싶어 했다 도시로 가는 기차는 가방과 전화기를 "
+        "든 사람들로 가득했고 창밖으로 회색 하늘 아래 공장과 다리와 "
+        "늘어선 집들이 보였다 일은 늦게 끝났지만 거리는 아직 등불과 "
+        "열린 문에서 나오는 음악으로 밝았다"
+    ),
+    "th": (
+        "แสงยามเช้าขึ้นเหนือหมู่บ้านและเด็กๆวิ่งเล่นอยู่ในสวนขณะที่แม่นำขนมปังอบใหม่"
+        "กับเนยและน้ำผึ้งมาให้นาฬิกาเก่าบนผนังยังคงนับชั่วโมงที่เราใช้เวลาร่วมกัน"
+        "อ่านเรื่องราวของภูเขาไกลโพ้นและผู้คนที่เดินผ่านเพื่อหาที่เงียบสงบ\n"
+        "ที่ตลาดชาวนาขายแอปเปิ้ลหัวหอมและเนยแข็งคนทำขนมปังอธิบายว่าแป้งต้องพัก"
+        "นานเท่าไรก่อนเข้าเตาอบร้อนเธอบอกว่าซุปที่ดีต้องใช้เวลาเกลือและความอดทน"
+        "เล็กน้อยและไม่ควรต้มปลานานเกินจำเป็นเราซื้อไข่มะเขือเทศและข้าวสารหนึ่งถุง"
+        "สำหรับสัปดาห์นี้\n"
+        "วันจันทร์ที่ทำงานวุ่นวายเพราะโครงการใหม่เริ่มขึ้นและทุกคนอยากอ่านรายงาน"
+        "ก่อนการประชุมรถไฟเข้าเมืองเต็มไปด้วยผู้คนถือกระเป๋าและโทรศัพท์มองออกไป"
+        "นอกหน้าต่างเห็นโรงงานสะพานและบ้านเรียงแถวใต้ท้องฟ้าสีเทางานเลิกดึกแต่ถนน"
+        "ยังสว่างด้วยแสงไฟและเสียงดนตรีจากประตูที่เปิดอยู่"
+    ),
+    "he": (
+        "אור הבוקר עולה מעל הכפר והילדים משחקים בגינה בזמן שאמם מביאה "
+        "לחם טרי עם חמאה ודבש השעון הישן על הקיר ממשיך לספור את השעות "
+        "שאנחנו מבלים יחד וקוראים סיפורים על הרים רחוקים ועל אנשים "
+        "שהולכים בהם ומחפשים מקום שקט\n"
+        "בשוק האיכרים מוכרים תפוחים בצל וגבינה והאופה מסביר כמה זמן "
+        "הבצק צריך לנוח לפני שהוא נכנס לתנור החם היא אומרת שמרק טוב "
+        "צריך זמן מלח וקצת סבלנות ושאסור לבשל דג יותר זמן מהנדרש קנינו "
+        "ביצים עגבניות ושק אורז לשבוע\n"
+        "ביום שני המשרד היה עמוס כי הפרויקט החדש התחיל וכולם רצו לקרוא "
+        "את הדוח לפני הישיבה הרכבת לעיר הייתה מלאה באנשים עם תיקים "
+        "וטלפונים ומבעד לחלון ראינו מפעלים גשרים ושורות ארוכות של בתים "
+        "תחת שמים אפורים העבודה נגמרה מאוחר אבל הרחובות עוד היו מוארים "
+        "במנורות ומוזיקה מדלתות פתוחות"
+    ),
+    "uk": (
+        "ранкове світло сходить над селом і діти граються в саду поки "
+        "мати несе свіжий хліб з маслом і медом старий годинник на стіні "
+        "далі рахує години які ми проводимо разом читаючи історії про "
+        "далекі гори і людей що йдуть ними шукаючи тихе місце\n"
+        "на ринку селяни продають яблука цибулю і сир а пекар пояснює "
+        "скільки тісто має відпочивати перш ніж потрапити в гарячу піч "
+        "вона каже що добрий суп потребує часу солі і трохи терпіння і "
+        "що рибу не слід варити довше ніж потрібно ми купили яйця "
+        "помідори і мішок рису на тиждень\n"
+        "у понеділок у конторі було людно бо почався новий проект і всі "
+        "хотіли прочитати звіт перед нарадою потяг до міста був повний "
+        "людей із сумками й телефонами крізь вікно було видно заводи "
+        "мости й довгі ряди будинків під сірим небом робота закінчилася "
+        "пізно але вулиці ще світилися ліхтарями й музикою з відчинених "
+        "дверей"
+    ),
+    "bg": (
+        "утринната светлина изгрява над селото и децата играят в "
+        "градината докато майка им носи пресен хляб с масло и мед "
+        "старият часовник на стената продължава да брои часовете които "
+        "прекарваме заедно четейки истории за далечни планини и за "
+        "хората които вървят през тях и търсят тихо място\n"
+        "на пазара селяните продават ябълки лук и сирене а хлебарят "
+        "обяснява колко време тестото трябва да почива преди да влезе в "
+        "горещата пещ тя казва че добрата супа има нужда от време сол и "
+        "малко търпение и че рибата не бива да се вари по дълго от "
+        "необходимото купихме яйца домати и чувал ориз за седмицата\n"
+        "в понеделник в кантората беше оживено защото новият проект беше "
+        "започнал и всички искаха да прочетат доклада преди събранието "
+        "влакът за града беше пълен с хора с чанти и телефони през "
+        "прозореца се виждаха заводи мостове и дълги редици къщи под "
+        "сиво небе работата свърши късно но улиците още светеха от лампи "
+        "и музика от отворените врати"
+    ),
+    "vi": (
+        "ánh sáng buổi sớm lên trên ngôi làng và lũ trẻ chơi trong vườn "
+        "trong khi mẹ mang bánh mì mới với bơ và mật ong chiếc đồng hồ "
+        "cũ trên tường vẫn đếm những giờ chúng ta ở bên nhau đọc truyện "
+        "về những ngọn núi xa và những người đi qua đó tìm một nơi yên "
+        "tĩnh\n"
+        "ở chợ nông dân bán táo hành và phô mai người thợ bánh giải "
+        "thích bột phải nghỉ bao lâu trước khi vào lò nóng bà nói rằng "
+        "một nồi canh ngon cần thời gian muối và một chút kiên nhẫn và "
+        "không nên nấu cá lâu hơn cần thiết chúng tôi mua trứng cà chua "
+        "và một bao gạo cho cả tuần\n"
+        "sáng thứ hai văn phòng bận rộn vì dự án mới đã bắt đầu và mọi "
+        "người muốn đọc báo cáo trước cuộc họp chuyến tàu vào thành phố "
+        "đầy người mang túi và điện thoại qua cửa sổ có thể thấy nhà "
+        "máy cầu và những dãy nhà dài dưới bầu trời xám công việc kết "
+        "thúc muộn nhưng đường phố vẫn sáng đèn và tiếng nhạc từ những "
+        "cánh cửa mở"
+    ),
+    "ca": (
+        "la llum del matí surt sobre el poble i els nens juguen al "
+        "jardí mentre la mare porta pa acabat de fer amb mantega i mel "
+        "el vell rellotge de la paret continua comptant les hores que "
+        "passem junts llegint històries sobre muntanyes llunyanes i "
+        "sobre la gent que hi camina buscant un lloc tranquil\n"
+        "al mercat els pagesos venen pomes cebes i formatge i el forner "
+        "explica quant de temps ha de reposar la massa abans d entrar "
+        "al forn calent ella diu que una bona sopa necessita temps sal "
+        "i una mica de paciència i que no s ha de coure el peix més del "
+        "necessari vam comprar ous tomàquets i un sac d arròs per a la "
+        "setmana\n"
+        "dilluns el despatx anava ple de feina perquè el nou projecte "
+        "havia començat i tothom volia llegir l informe abans de la "
+        "reunió el tren cap a la ciutat anava ple de gent amb bosses i "
+        "telèfons per la finestra es veien fàbriques ponts i llargues "
+        "fileres de cases sota un cel gris la feina va acabar tard però "
+        "els carrers encara eren plens de llums i de música de les "
+        "portes obertes"
+    ),
+    "sk": (
+        "ranné svetlo vychádza nad dedinou a deti sa hrajú v záhrade "
+        "zatiaľ čo mama prináša čerstvý chlieb s maslom a medom staré "
+        "hodiny na stene ďalej počítajú hodiny ktoré trávime spolu "
+        "čítaním príbehov o ďalekých horách a o ľuďoch ktorí nimi "
+        "kráčajú a hľadajú tiché miesto\n"
+        "na trhu roľníci predávajú jablká cibuľu a syr a pekár "
+        "vysvetľuje ako dlho musí cesto odpočívať kým pôjde do horúcej "
+        "pece hovorí že dobrá polievka potrebuje čas soľ a trochu "
+        "trpezlivosti a že rybu netreba variť dlhšie než je potrebné "
+        "kúpili sme vajcia paradajky a vrece ryže na týždeň\n"
+        "v pondelok bolo v kancelárii rušno lebo sa začal nový projekt "
+        "a všetci si chceli prečítať správu pred poradou vlak do mesta "
+        "bol plný ľudí s taškami a telefónmi cez okno bolo vidieť "
+        "továrne mosty a dlhé rady domov pod sivou oblohou práca sa "
+        "skončila neskoro ale ulice ešte svietili lampami a hudbou z "
+        "otvorených dverí"
     ),
 }
 

@@ -16,8 +16,11 @@ This is the X10 operator over GENUINE archive bytes — the reference's
   zip64 failure mode) — here they surface as a ``status='corrupt'`` row.
 
 Python's stdlib covers zip (``zipfile``), tar (``tarfile``), gz (``gzip``),
-bz2 (``bz2``) and xz (``lzma``) with no new dependencies; 7z/rar/lz4 have no
-stdlib codec and are detected-but-not-unpacked (status ``unsupported``) —
+bz2 (``bz2``) and xz (``lzma``) with no new dependencies; 7z is read by the
+from-scratch container parser in ``sevenz.py`` (stdlib ``lzma`` does the
+entropy coding — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded headers),
+with coder chains outside that set (BCJ/AES) surfacing as ``unsupported``
+status rows. rar/lz4 remain detected-but-not-unpacked (``unsupported``) —
 whether nested OR at the root — mirroring how the reference logs-and-skips
 formats its PackageParser build lacks.
 
@@ -56,6 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import sniff
+from . import sevenz
 
 MIME_ZIP = sniff.MIME_ZIP  # single-sourced: the extraction path sniffs these
 MIME_GZIP = sniff.MIME_GZIP
@@ -66,10 +70,15 @@ MIME_7Z = "application/x-7z-compressed"
 MIME_RAR = "application/x-rar-compressed"
 MIME_BINARY = "application/octet-stream"
 
-#: formats we can actually open (stdlib)
-UNPACKABLE = frozenset({MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ})
+#: formats we can actually open (stdlib; 7z via the from-scratch container
+#: reader in sevenz.py — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded
+#: headers; unsupported coder chains inside a 7z degrade to ``unsupported``
+#: status rows rather than corrupt)
+UNPACKABLE = frozenset(
+    {MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ, MIME_7Z}
+)
 #: detected-but-skipped, as the reference skips formats it lacks a parser for
-DETECT_ONLY = frozenset({MIME_7Z, MIME_RAR})
+DETECT_ONLY = frozenset({MIME_RAR})
 
 _EXT = {
     sniff.MIME_PDF: ".pdf",
@@ -243,6 +252,13 @@ def _list_members(
         if overflowed:
             return [("", _TooLarge(payload), max_member_bytes + 1)]
         return [("", payload, len(payload))]
+    if kind == MIME_7Z:
+        return [
+            (name, payload if payload is not None else _TooLarge(head), size)
+            for name, payload, size, head in sevenz.list_members(
+                data, max_member_bytes
+            )
+        ]
     raise ValueError(f"not a container: {kind}")
 
 
@@ -284,9 +300,10 @@ def unpack_one(
     - nested containers expand breadth-first to ``max_depth`` (standing in
       for the reference's re-sweep of emitted children);
     - malformed containers emit one ``status='corrupt'`` row and never
-      raise; detected-only formats (7z/rar) emit ``status='unsupported'``
-      — including a root payload that IS one of those formats (one status
-      row, not silent drop); non-container root payloads return no rows;
+      raise; detected-only formats (rar) and 7z coder chains outside the
+      implemented set emit ``status='unsupported'`` — including a root
+      payload in such a format (one status row, not silent drop);
+      non-container root payloads return no rows;
     - bomb guards, all surfacing as status rows instead of executor OOM:
       ``max_members`` caps row count (status ``truncated``);
       ``max_member_bytes`` caps any single decompressed member (zip/tar:
@@ -313,6 +330,14 @@ def unpack_one(
         kind = detect_bytes(cdata)
         try:
             members = _list_members(kind, cdata, max_member_bytes)
+        except sevenz.UnsupportedCoder:
+            # valid container, coder outside the implemented set (BCJ/AES):
+            # the detected-but-not-unpacked taxonomy, not corruption
+            rows.append(
+                _row(-1, cname, None, None, kind, depth, True, len(cdata),
+                     "unsupported")
+            )
+            continue
         except Exception as e:  # noqa: BLE001 — never fail the job (X5)
             rows.append(
                 _row(-1, cname, None, None, kind, depth, True, 0,
