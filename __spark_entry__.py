@@ -751,6 +751,50 @@ def q49_embedded_member_extract(spark, sf_dir):
     )
 
 
+def q53_simhash_planted_pairs(spark, sf_dir):
+    # SimHash pigeonhole candidate machinery under a closed-form oracle:
+    # identical planted texts → identical 64-bit simhash → every block
+    # collides and exact hamming is 0, so the output is exactly the
+    # within-family pair set. Cross-family texts have disjoint 3-token
+    # sets → near-uniform independent simhashes → P(hamming ≤ 3) ≈ 2e-15
+    # per pair (block-level collisions only add shuffle, the exact-hamming
+    # verify drops them). Exercises signature UDF + block bucketing +
+    # bit_count verify end-to-end, hash-checked by the driver.
+    planted = _planted_family_docs(spark, sf_dir)
+    sigs = dedup.simhash_signatures(planted, "doc_id", "text")
+    return (
+        dedup.simhash_near_pairs(sigs, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q54_ann_planted(spark, sf_dir):
+    # Hyperplane-LSH ANN under a closed-form oracle: embeddings are
+    # replaced by 17 prototype ±1 vectors (identical within a class,
+    # pairwise hamming ≥ 4 ⇒ cross-class cos ≤ 0.5). Identical vectors
+    # collide in EVERY LSH table, so candidate recall is exactly 1 for the
+    # query's class and top-k = the k smallest other ids of that class at
+    # cos_sim exactly 1.0 — which DuckDB predicts with one window
+    # function and no vector math. The engine still runs the real
+    # signature UDF, multi-probe bucket join and exact-cosine rerank.
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    proto = F.col("vec_id") % 17
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda d: F.when(
+            ((proto + 1) * (d + 3) * 7919) % 97 < 48, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    planted = emb.select("vec_id", vec.alias("embedding"))
+    queries_df = planted.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_lsh(
+        planted, queries_df, k=5, n_bits=8, dim=16, n_tables=4
+    ).orderBy("query_id", "rank")
+
+
 def q52_sevenz_rollup(spark, sf_dir):
     # X10 stretch, oracled: per-doc GENUINE 7z bytes (from-scratch writer,
     # Copy coder, raw header) containing a plain member and a nested zip
@@ -1179,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_dup_clusters": q42_dup_clusters,
         "q51_lsh_planted_pairs": q51_lsh_planted_pairs,
         "q52_sevenz_rollup": q52_sevenz_rollup,
+        "q53_simhash_planted_pairs": q53_simhash_planted_pairs,
+        "q54_ann_planted": q54_ann_planted,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1746,6 +1792,30 @@ _ORACLES: dict[str, str] = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS est_jaccard
         FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+    """,
+    # q53: within-family pairs at hamming 0 (see q53's docstring for why
+    # cross-family pairs are deterministically absent)
+    "q53_simhash_planted_pairs": f"""
+        WITH fam AS (
+          SELECT doc_id,
+                 {_PLANTED_FAMILY_SQL} AS fam
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+        FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """,
+    # q54: top-k inside the query's prototype class, rank = id order,
+    # cos exactly 1.0 (identical ±1 vectors)
+    "q54_ann_planted": """
+        WITH p AS (SELECT vec_id, vec_id % 17 AS proto FROM embeddings),
+        q AS (SELECT vec_id AS query_id, proto FROM p WHERE vec_id < 5),
+        cand AS (
+          SELECT q.query_id, p.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY p.vec_id) AS rank
+          FROM q JOIN p ON p.proto = q.proto AND p.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank, 1.0::DOUBLE AS cos_sim
+        FROM cand WHERE rank <= 5 ORDER BY query_id, rank
     """,
     # q52: the 7z reader under a closed-form oracle — member texts are
     # functions of doc_id ('x' * (doc_id%7+1) plain; '<?xml version="1.0"?>'
