@@ -795,6 +795,30 @@ def q54_ann_planted(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q55_verified_neardup_planted(spark, sf_dir):
+    # q41's full shape — signatures → LSH bucket candidates → exact
+    # token-set Jaccard verify on candidates only — under a closed-form
+    # oracle: identical planted token sets collide in every band (within-
+    # family recall exactly 1) and verify at jaccard exactly 1.0, while
+    # disjoint cross-family token sets can neither collide (2⁻⁶⁴-level
+    # band-hash coincidences aside) nor survive the 0.8 threshold. The
+    # driver hash-checks the whole candidate+verify pipeline.
+    planted = _planted_family_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(
+        planted, "doc_id", "text", unit="token"
+    ).persist()
+    sigs.count()
+    cands = dedup.minhash_lsh_pairs(sigs)
+    res = (
+        dedup.jaccard_verify_pairs(planted, "doc_id", "text", cands, threshold=0.8)
+        .orderBy("id_a", "id_b")
+        .persist()
+    )
+    res.count()
+    sigs.unpersist()
+    return res
+
+
 def q52_sevenz_rollup(spark, sf_dir):
     # X10 stretch, oracled: per-doc GENUINE 7z bytes (from-scratch writer,
     # Copy coder, raw header) containing a plain member and a nested zip
@@ -1225,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_sevenz_rollup": q52_sevenz_rollup,
         "q53_simhash_planted_pairs": q53_simhash_planted_pairs,
         "q54_ann_planted": q54_ann_planted,
+        "q55_verified_neardup_planted": q55_verified_neardup_planted,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1816,6 +1841,17 @@ _ORACLES: dict[str, str] = {
           FROM q JOIN p ON p.proto = q.proto AND p.vec_id != q.query_id)
         SELECT query_id, neighbor_id, rank, 1.0::DOUBLE AS cos_sim
         FROM cand WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    # q55: the LSH→verify pipeline must emit exactly the within-family
+    # pairs at token-set jaccard 1.0
+    "q55_verified_neardup_planted": f"""
+        WITH fam AS (
+          SELECT doc_id,
+                 {_PLANTED_FAMILY_SQL} AS fam
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
+        FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
     """,
     # q52: the 7z reader under a closed-form oracle — member texts are
     # functions of doc_id ('x' * (doc_id%7+1) plain; '<?xml version="1.0"?>'
