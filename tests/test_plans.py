@@ -184,3 +184,31 @@ def test_ann_ivf_plan_not_cartesian(spark):
     p = plan_of(entry.q50_ann_ivf(spark, SF))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_ann_planted_plan_not_cartesian(spark):
+    """q54: the planted-oracle ANN still goes through the real bucket
+    equi-join — candidates never meet via cartesian/nested-loop."""
+    p = plan_of(entry.q54_ann_planted(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_sevenz_rollup_single_python_explode(spark):
+    """q52: synth + 7z member explode are two narrow mapInPandas stages;
+    the only Exchange feeds the final rollup."""
+    p = plan_of(entry.q52_sevenz_rollup(spark, SF))
+    assert p.count("MapInPandas") == 2, p
+    pre_agg = p.split("MapInPandas")[1]
+    assert "Exchange" not in pre_agg, p
+
+
+def test_exact_duplicates_single_exchange(spark):
+    """Bounded-ids exact dedup: the rank window shares the groupBy's hash
+    partitioning on digest, so the whole plan still has exactly one
+    Exchange (the design claim in the docstring, pinned)."""
+    from tika_addons_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dedup.exact_duplicates(d, "doc_id", "text"))
+    assert p.count("Exchange") == 1, p
