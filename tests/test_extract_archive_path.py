@@ -51,6 +51,66 @@ def test_oracle_gzip_turn():
     assert out["parse_status"] == "valid"
 
 
+def _7z_uri(members):
+    from tika_addons_spark.operators import sevenz as sz
+
+    return "data:application/x-7z-compressed;base64," + base64.b64encode(
+        sz.make_7z(members)
+    ).decode()
+
+
+def test_oracle_7z_turn_members_joined():
+    """Round-4: 7z data-URI attachments extract like zip/gzip ones —
+    through the from-scratch sevenz reader inside the same kernel."""
+    uri = _7z_uri([("a.txt", b"seven alpha"), ("b.txt", b"seven beta")])
+    out = extract_one(uri)
+    assert out["detected_content_type"] == sniff.MIME_7Z
+    assert out["parse_status"] == "valid"
+    assert out["extracted_text"] == "seven alpha\nseven beta"
+    assert out["meta"]["container"] == sniff.MIME_7Z
+    # corrupt 7z URI: rejected with the archive taxonomy, never a raise
+    bad = "data:application/x-7z-compressed;base64," + base64.b64encode(
+        b"7z\xbc\xaf\x27\x1c" + b"\x00" * 24
+    ).decode()
+    out2 = extract_one(bad)
+    assert out2["parse_status"] == "rejected"
+    assert "archive-corrupt" in out2["warnings"]
+
+
+def test_engine_7z_turn_arrow_pandas_parity(spark):
+    """The 7z routing must be identical in the pandas and arrow twins."""
+    from tika_addons_spark.operators.extract import extract_batch
+    from tika_addons_spark.operators.extract_arrow import extract_batch_arrow
+    import pyarrow as pa
+
+    uri = _7z_uri([("x", b"content one"), ("y", b"<html><body><p>two para words</p>")])
+    texts = [uri, "plain sibling", None]
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * 3, "turn_idx": [0, 1, 2], "text": texts}
+    )
+    exp = extract_batch(pdf)
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(pdf["conv_id"]), pa.array(pdf["turn_idx"], pa.int32()),
+         pa.array(texts, pa.string())],
+        names=["conv_id", "turn_idx", "text"],
+    )
+    got = extract_batch_arrow(rb).to_pandas()
+    assert got["extracted_text"].tolist() == exp["extracted_text"].tolist()
+    assert got["detected_content_type"].tolist() == exp["detected_content_type"].tolist()
+    assert got["detected_content_type"][0] == sniff.MIME_7Z
+    assert got["parse_status"].tolist() == exp["parse_status"].tolist()
+
+
+def test_embedded_turns_include_7z(spark):
+    uri = _7z_uri([("m0", b"leaf one"), ("m1", b"leaf two")])
+    df = spark.createDataFrame(
+        [("c1", 0, uri)], "conv_id string, turn_idx int, text string"
+    )
+    rows = extract_embedded_turns(df).orderBy("member_idx").collect()
+    assert [r.extracted_text for r in rows] == ["leaf one", "leaf two"]
+    assert all(r.status == "ok" for r in rows)
+
+
 def test_oracle_corrupt_archive_rejected_not_raised():
     bad = "data:application/zip;base64," + base64.b64encode(
         b"PK\x03\x04" + b"\x00" * 20

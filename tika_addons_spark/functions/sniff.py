@@ -27,12 +27,14 @@ MIME_PLAIN = "text/plain"
 MIME_EMPTY = "application/octet-stream"
 MIME_ZIP = "application/zip"
 MIME_GZIP = "application/gzip"
+MIME_7Z = "application/x-7z-compressed"
 
 # base64 data-URI attachments inside turn text — the transcript-world form
 # of the reference's base64-encoded bugzilla attachments
 # (bugtracker-crawler/.../BugzillaWorker.java, gz'd JSON payloads)
 DATA_URI_ZIP = "data:application/zip;base64,"
 DATA_URI_GZIP = "data:application/gzip;base64,"
+DATA_URI_7Z = "data:application/x-7z-compressed;base64,"
 
 # unreliable types the reference refuses to trust for renames
 # (bugtracker-crawler/.../Step2ExtensionFixer.java:52-58)
@@ -69,6 +71,8 @@ def sniff_one(text: str | None) -> str:
         return MIME_ZIP
     if stripped.startswith(DATA_URI_GZIP):
         return MIME_GZIP
+    if stripped.startswith(DATA_URI_7Z):
+        return MIME_7Z
     if stripped.startswith("%PDF-"):
         return MIME_PDF
     if _RE_XML.match(head):
@@ -94,6 +98,7 @@ def sniff_series(s: pd.Series) -> pd.Series:
     out[lstripped.str.startswith("%PDF-", na=False)] = MIME_PDF
     out[lstripped.str.startswith(DATA_URI_ZIP, na=False)] = MIME_ZIP
     out[lstripped.str.startswith(DATA_URI_GZIP, na=False)] = MIME_GZIP
+    out[lstripped.str.startswith(DATA_URI_7Z, na=False)] = MIME_7Z
     out[s.isna() | (s.str.len() == 0)] = MIME_EMPTY
     return out
 

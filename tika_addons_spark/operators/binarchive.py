@@ -66,7 +66,7 @@ MIME_GZIP = sniff.MIME_GZIP
 MIME_TAR = "application/x-tar"
 MIME_BZIP2 = "application/x-bzip2"
 MIME_XZ = "application/x-xz"
-MIME_7Z = "application/x-7z-compressed"
+MIME_7Z = sniff.MIME_7Z  # single-sourced: the extraction path sniffs it too
 MIME_RAR = "application/x-rar-compressed"
 MIME_BINARY = "application/octet-stream"
 

@@ -85,7 +85,7 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # vectorized.
     needs_kernel = ctype.isin(
         [sniff.MIME_HTML, sniff.MIME_PDF, sniff.MIME_MTEXT,
-         sniff.MIME_ZIP, sniff.MIME_GZIP]
+         sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z]
     )
     needs_kernel |= texts.str.contains("<?xpacket begin=", regex=False, na=False)
 
@@ -162,7 +162,7 @@ def extract_embedded_turns(df: DataFrame) -> DataFrame:
                 if not isinstance(text, str):
                     continue
                 ctype = sniff.sniff_one(text)
-                if ctype not in (sniff.MIME_ZIP, sniff.MIME_GZIP):
+                if ctype not in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z):
                     continue
                 try:
                     data = base64.b64decode(

@@ -89,13 +89,14 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
     empty = _b(pc.is_null(text)) | _b(pc.equal(pc.utf8_length(text), 0))
     zipuri = _b(pc.starts_with(stripped, sniff.DATA_URI_ZIP))
     gzuri = _b(pc.starts_with(stripped, sniff.DATA_URI_GZIP))
+    szuri = _b(pc.starts_with(stripped, sniff.DATA_URI_7Z))
     pdf = _b(pc.starts_with(stripped, "%PDF-"))
     xml = _b(pc.starts_with(stripped, "<?xml"))
     html = _b(pc.match_substring_regex(stripped, _RE2_HTML_PREFIX)) | _b(
         pc.match_substring_regex(head, _RE2_HTMLISH)
     )
     mtext = _b(pc.match_substring_regex(head, _RE2_MTEXT))
-    # priority: empty > zip > gz > pdf > xml > html > mtext > plain
+    # priority: empty > zip > gz > 7z > pdf > xml > html > mtext > plain
     taken = empty.copy()
 
     def claim(m):
@@ -107,6 +108,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
         "empty": empty,
         "zip": claim(zipuri),
         "gz": claim(gzuri),
+        "sevenz": claim(szuri),
         "pdf": claim(pdf),
         "xml": claim(xml),
         "html": claim(html),
@@ -122,6 +124,7 @@ def _ctype_values(masks: dict[str, np.ndarray], n: int) -> np.ndarray:
         ("html", sniff.MIME_HTML),
         ("xml", sniff.MIME_XML),
         ("pdf", sniff.MIME_PDF),
+        ("sevenz", sniff.MIME_7Z),
         ("gz", sniff.MIME_GZIP),
         ("zip", sniff.MIME_ZIP),
         ("empty", sniff.MIME_EMPTY),
@@ -231,7 +234,8 @@ def extract_batch_arrow(rb: pa.RecordBatch) -> pa.RecordBatch:
     masks = _sniff_masks(text)
     ctype = _ctype_values(masks, n)
     needs_kernel = (
-        masks["html"] | masks["pdf"] | masks["mtext"] | masks["zip"] | masks["gz"]
+        masks["html"] | masks["pdf"] | masks["mtext"]
+        | masks["zip"] | masks["gz"] | masks["sevenz"]
     )
     needs_kernel |= _b(
         pc.match_substring(pc.fill_null(text, ""), "<?xpacket begin=")

@@ -49,7 +49,7 @@ def _extract_archive_turn(
     text: str, ctype: str
 ) -> tuple[str, dict[str, str], list[tuple[str, int, int]], list[str], bool]:
     """X10 on the extraction path: a turn whose text is a base64 data-URI of
-    real zip/gzip bytes. Decode → unpack (binarchive, nested containers
+    real zip/gzip/7z bytes. Decode → unpack (binarchive, nested containers
     flatten breadth-first) → run each member through its own extraction kernel →
     join non-empty member texts with a single newline, spans = member char
     ranges in the OUTPUT (input offsets are meaningless for base64).
@@ -127,7 +127,7 @@ def extract_one(text: str | None) -> dict[str, Any]:
         elif ctype == sniff.MIME_MTEXT:
             body = cleaners.clean_mtext(text)
             spans = [("main", 0, len(text))]
-        elif ctype in (sniff.MIME_ZIP, sniff.MIME_GZIP):
+        elif ctype in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z):
             body, meta, spans, warnings, rejected = _extract_archive_turn(
                 text, ctype
             )
