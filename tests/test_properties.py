@@ -216,3 +216,63 @@ def test_arrow_kernel_equals_pandas_kernel(texts):
         xs = [(s["kind"], s["start"], s["end"]) for s in (x if x is not None else [])]
         ys = [(s["kind"], s["start"], s["end"]) for s in (y if y is not None else [])]
         assert xs == ys, ("spans", i, repr(texts[i]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20, max_codepoint=0x2FA0, exclude_characters="\x00"
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            st.binary(max_size=400),
+        ),
+        max_size=6,
+    )
+)
+def test_sevenz_roundtrip_property(members):
+    """7z writer→reader round trip on arbitrary member names/bytes,
+    including empty payloads and non-ASCII names (UTF-16LE name table)."""
+    from tika_addons_spark.operators import sevenz as sz
+
+    data = sz.make_7z(members)
+    got = sz.list_members(data, 1 << 20)
+    assert [(n, d, len(d)) for n, d in members] == [
+        (n, d, s) for n, d, s, _ in got
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=600))
+def test_sevenz_reader_total_on_garbage(data):
+    """Arbitrary bytes behind the 7z magic must raise ONLY the typed
+    errors (Bad7z/UnsupportedCoder), which binarchive maps to status rows
+    — and unpack_one itself must stay total."""
+    from tika_addons_spark.operators import binarchive as ba
+    from tika_addons_spark.operators import sevenz as sz
+
+    payload = sz.SIGNATURE + data
+    try:
+        sz.list_members(payload, 1 << 20)
+    except (sz.Bad7z, sz.UnsupportedCoder):
+        pass
+    except Exception as e:  # any other escape is a totality bug
+        raise AssertionError(f"untyped error: {type(e).__name__}: {e}") from e
+    rows = ba.unpack_one("g", payload, max_depth=2)
+    assert all(isinstance(r["status"], str) for r in rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=600))
+def test_jpeg_decoder_total_on_garbage(data):
+    """decode_jpeg never raises, on raw garbage or garbage behind a JFIF
+    magic."""
+    from tika_addons_spark.operators import multimodal as mm
+
+    assert mm.decode_jpeg(data) is None or data[:2] == b"\xff\xd8"
+    out = mm.decode_jpeg(b"\xff\xd8\xff" + data)
+    assert out is None or out.ndim == 3
