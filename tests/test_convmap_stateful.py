@@ -120,3 +120,75 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     # 'same text' seen 3 times, survivor = its first occurrence (c1, 0);
     # 'other' seen twice, survivor (c1, 1). Survivors never change.
     assert got == {("c1", 0): 3, ("c1", 1): 2}
+
+
+def test_streaming_minhash_neardup_across_microbatches(spark, tmp_path):
+    """Crawl-shape near-dup: a doc arriving in a LATER micro-batch must be
+    paired against bucket members remembered from EARLIER batches, and the
+    hot-bucket saturation latch must bound state and output."""
+    from tika_addons_spark.streaming.stateful import streaming_minhash_neardup
+
+    src = tmp_path / "ndsrc"
+    src.mkdir()
+    schema = "doc_id string, text string"
+    b1 = [("d1", "alpha beta gamma delta words"), ("d2", "wholly unrelated content here")]
+    b2 = [("d3", "alpha beta gamma delta words"), ("d4", "another different thing entirely")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_minhash_neardup(stream, threshold=0.9)
+        .writeStream.format("memory")
+        .queryName("stream_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT DISTINCT id_a, id_b, est_jaccard FROM stream_neardup"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {("d1", "d3")}
+    assert all(r.est_jaccard == 1.0 for r in rows)
+
+
+def test_streaming_neardup_hot_bucket_saturates(spark, tmp_path):
+    """max_bucket_size: once a bucket saturates, it stops emitting pairs
+    AND stops growing state — bounded memory under a mega-family stream."""
+    from tika_addons_spark.streaming.stateful import streaming_minhash_neardup
+
+    src = tmp_path / "satsrc"
+    src.mkdir()
+    schema = "doc_id string, text string"
+    fam = [(f"d{i}", "the very same boilerplate text") for i in range(12)]
+    spark.createDataFrame(fam, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_minhash_neardup(stream, threshold=0.9, max_bucket_size=4)
+        .writeStream.format("memory")
+        .queryName("stream_neardup_sat")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM stream_neardup_sat"
+        ).collect()
+    }
+    # only the first max_bucket_size members pair up: C(4,2) = 6 pairs
+    assert len(pairs) == 6
+    members = {x for p in pairs for x in p}
+    assert members <= {f"d{i}" for i in range(4)}

@@ -104,6 +104,110 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+NEARDUP_OUTPUT_SCHEMA = (
+    "id_a string, id_b string, band int, bucket string, est_jaccard double"
+)
+# per-bucket memory: member ids + their signatures (packed int64 bytes for
+# compact state rows) + the hot-bucket saturation latch
+NEARDUP_STATE_SCHEMA = "ids array<string>, sig_bytes binary, saturated boolean"
+
+
+def _make_fold_neardup(n_hashes: int, threshold: float, max_bucket_size: int):
+    import numpy as np
+
+    def fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, sig_bytes, saturated = state.get
+            ids = list(ids)
+            mat = np.frombuffer(sig_bytes, dtype=np.int64).reshape(-1, n_hashes)
+        else:
+            ids, saturated = [], False
+            mat = np.empty((0, n_hashes), dtype=np.int64)
+        out_a, out_b, out_e = [], [], []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["id"], pdf["signature"]):
+                if saturated:
+                    break
+                if len(ids) >= max_bucket_size:
+                    # hot bucket: same contract as the batch operator's
+                    # max_bucket_size — stop pairing AND stop growing state
+                    # (mega-families belong to exact dedup / clustering)
+                    saturated = True
+                    break
+                s = np.asarray(sig, dtype=np.int64)
+                if len(ids):
+                    est = (mat == s[None, :]).mean(axis=1)
+                    hit = np.nonzero(est >= threshold)[0]
+                    for j in hit:
+                        a, b = sorted((str(ids[j]), str(doc_id)))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_e.append(round(float(est[j]), 4))
+                ids.append(str(doc_id))
+                mat = np.vstack([mat, s[None, :]])
+        state.update((ids, mat.tobytes(), saturated))
+        yield pd.DataFrame(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "band": int(key[0]),
+                "bucket": str(key[1]),
+                "est_jaccard": out_e,
+            }
+        )
+
+    return fold
+
+
+def streaming_minhash_neardup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 64,
+    shingle_k: int = 5,
+    unit: str = "token",
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup: every incoming document is paired
+    against ALL previously-seen documents sharing an LSH bucket — the
+    crawl-time "is this page a near-dup of anything we already have" shape
+    that the batch operators (q31/q41) answer only per-snapshot.
+
+    Plan shape per micro-batch: stateless vectorized signature UDF →
+    banding (posexplode + hash, JVM-side) → ``applyInPandasWithState``
+    keyed by (band, bucket), state = the bucket's member ids + packed
+    signatures. Shuffle is ∝ band rows, state is ∝ corpus × n_bands and
+    per-bucket capped: a bucket that reaches ``max_bucket_size`` saturates
+    (stops pairing AND stops growing — the hot-bucket contract of the
+    batch path, where boilerplate mega-families belong to exact dedup).
+
+    A pair colliding in k bands is emitted k times (per-bucket state has
+    no cross-bucket view); downstream dedupes with
+    ``dropDuplicates(["id_a","id_b"])`` per micro-batch, exactly like the
+    batch path's ``.distinct()``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _banded, minhash_signatures
+
+    sigs = minhash_signatures(
+        stream.select(F.col(id_col).cast("string").alias("id"), text_col),
+        "id", text_col, n_hashes=n_hashes, shingle_k=shingle_k,
+        seed=seed, unit=unit,
+    )
+    banded = _banded(sigs, n_bands, rows_per_band, carry=("signature",))
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _make_fold_neardup(n_hashes, threshold, max_bucket_size),
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def conversation_running_state(stream: DataFrame) -> DataFrame:
     """Streaming DataFrame in → running per-conversation summary out.
 
