@@ -751,6 +751,52 @@ def q49_embedded_member_extract(spark, sf_dir):
     )
 
 
+def q56_decoded_pixel_sum(spark, sf_dir):
+    # The pixel DECODERS under a closed-form oracle: per doc, genuine PNG
+    # (even ids; zlib + cycling scanline filters) or GIF (odd ids; real
+    # LZW stream) bytes are synthesized, decoded back by the from-scratch
+    # decoders, and reduced to the exact integer sum of the red channel —
+    # which DuckDB predicts from the gradient formula ((x*7+y*3)%256 over
+    # the w×h grid) without touching any bytes. A wrong unfilter, LZW
+    # table, or palette lookup changes the sum and breaks the hash match.
+    import pandas as pd
+
+    from tika_addons_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def decode_sum(it):
+        for pdf in it:
+            sums, fmts = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + i % 32, 8 + i % 16
+                if i % 2 == 0:
+                    payload = multimodal.make_png(w, h)
+                    px = multimodal.decode_png(payload)
+                    fmts.append("png")
+                else:
+                    payload = multimodal.make_gif(w, h)
+                    px = multimodal.decode_gif(payload)
+                    fmts.append("gif")
+                sums.append(int(px[:, :, 0].astype("int64").sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fmt": fmts, "red_sum": sums}
+            )
+
+    per_doc = d.mapInPandas(decode_sum, "doc_id long, fmt string, red_sum long")
+    return (
+        per_doc.groupBy("fmt")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("red_sum").cast("long").alias("total_red"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def q53_simhash_planted_pairs(spark, sf_dir):
     # SimHash pigeonhole candidate machinery under a closed-form oracle:
     # identical planted texts → identical 64-bit simhash → every block
@@ -1250,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_simhash_planted_pairs": q53_simhash_planted_pairs,
         "q54_ann_planted": q54_ann_planted,
         "q55_verified_neardup_planted": q55_verified_neardup_planted,
+        "q56_decoded_pixel_sum": q56_decoded_pixel_sum,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1817,6 +1864,27 @@ _ORACLES: dict[str, str] = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS est_jaccard
         FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+    """,
+    # q56: exact red-channel sums predicted from the synth_pixels gradient
+    # — sum over the w×h grid of (x*7 + y*3) % 256, integer arithmetic
+    # only, via a correlated generate_series aggregation
+    "q56_decoded_pixel_sum": """
+        WITH dims AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+                 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+          FROM documents),
+        -- static max-size grid, bounded per row by join conditions
+        -- (DuckDB's generate_series can't take correlated parameters)
+        grid_sums AS (
+          SELECT d.doc_id, d.fmt,
+                 sum((gx.x * 7 + gy.y * 3) % 256) AS red_sum
+          FROM dims d
+          JOIN generate_series(0, 46) AS gx(x) ON gx.x < d.w
+          JOIN generate_series(0, 22) AS gy(y) ON gy.y < d.h
+          GROUP BY d.doc_id, d.fmt)
+        SELECT fmt, count(*)::BIGINT AS n, sum(red_sum)::BIGINT AS total_red
+        FROM grid_sums GROUP BY fmt ORDER BY fmt
     """,
     # q53: within-family pairs at hamming 0 (see q53's docstring for why
     # cross-family pairs are deterministically absent)
