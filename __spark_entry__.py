@@ -797,6 +797,54 @@ def q56_decoded_pixel_sum(spark, sf_dir):
     )
 
 
+def q57_bomb_taxonomy(spark, sf_dir):
+    # The decompression-bomb guards under a closed-form oracle: per doc, a
+    # payload engineered to land in exactly one taxonomy bucket — a normal
+    # 2-member zip ('ok' ×2), a zip whose member's DECLARED size exceeds
+    # the cap ('too-large', skipped before read), a gzip whose stream
+    # expands past the cap ('too-large' via the bounded decompressor), or
+    # a truncated zip ('corrupt:BadZipFile'). DuckDB predicts the status
+    # histogram from doc_id arithmetic; any cap regression (reading the
+    # oversized member, unbounded decompress, wrong taxonomy) changes the
+    # counts and breaks the hash match.
+    import pandas as pd
+
+    from tika_addons_spark.operators import binarchive
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    CAP = 4096
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = i % 4
+                if k == 0:
+                    p = binarchive.make_zip([("a", b"small one"), ("b", b"small two")])
+                elif k == 1:
+                    p = binarchive.make_zip([("big", b"B" * (CAP + 1))])
+                elif k == 2:
+                    p = binarchive.make_gzip(b"\x00" * (CAP * 8))
+                else:
+                    good = binarchive.make_zip([("x", b"payload body")])
+                    p = good[: len(good) // 2]  # truncated mid-archive
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+    members = binarchive.explode_binary_members(
+        media, ["doc_id"], "payload", max_member_bytes=CAP
+    )
+    return (
+        members.groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
 def q53_simhash_planted_pairs(spark, sf_dir):
     # SimHash pigeonhole candidate machinery under a closed-form oracle:
     # identical planted texts → identical 64-bit simhash → every block
@@ -1297,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_ann_planted": q54_ann_planted,
         "q55_verified_neardup_planted": q55_verified_neardup_planted,
         "q56_decoded_pixel_sum": q56_decoded_pixel_sum,
+        "q57_bomb_taxonomy": q57_bomb_taxonomy,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1885,6 +1934,22 @@ _ORACLES: dict[str, str] = {
           GROUP BY d.doc_id, d.fmt)
         SELECT fmt, count(*)::BIGINT AS n, sum(red_sum)::BIGINT AS total_red
         FROM grid_sums GROUP BY fmt ORDER BY fmt
+    """,
+    # q57: status histogram of the bomb taxonomy, predicted from doc_id
+    # arithmetic (2 ok rows per normal zip; declared-size and
+    # expansion bombs → too-large; truncated zip → corrupt:BadZipFile)
+    "q57_bomb_taxonomy": """
+        WITH k AS (SELECT doc_id % 4 AS k FROM documents)
+        SELECT status, n::BIGINT AS n FROM (
+          SELECT 'ok' AS status,
+                 2 * sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS n FROM k
+          UNION ALL
+          SELECT 'too-large',
+                 sum(CASE WHEN k IN (1, 2) THEN 1 ELSE 0 END) FROM k
+          UNION ALL
+          SELECT 'corrupt:BadZipFile',
+                 sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) FROM k
+        ) ORDER BY status
     """,
     # q53: within-family pairs at hamming 0 (see q53's docstring for why
     # cross-family pairs are deterministically absent)

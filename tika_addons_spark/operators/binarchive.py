@@ -411,11 +411,16 @@ def explode_binary_members(
     bytes_col: str = "payload",
     max_depth: int = 3,
     emit_containers: bool = False,
+    max_members: int = 100_000,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    max_total_bytes: int = DEFAULT_MAX_TOTAL_BYTES,
 ) -> DataFrame:
     """X10 over real bytes as a Spark operator: mapInPandas UDTF — N
     container rows in, M member rows out (incl. per-entry X7 features:
     n_bytes, sha256 over raw bytes). One narrow stage, no shuffle; corrupt
-    and unsupported containers become status rows, never task failures."""
+    and unsupported containers become status rows, never task failures.
+    The three bomb caps (rows / per-member bytes / cumulative bytes) are
+    exposed so callers can size them to executor memory."""
     id_cols = id_cols or ["container_id"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -427,7 +432,11 @@ def explode_binary_members(
                 root = str(ids[0])
                 data = bytes(data) if data is not None else None
                 for r in unpack_one(
-                    root, data, max_depth=max_depth, emit_containers=emit_containers
+                    root, data, max_depth=max_depth,
+                    emit_containers=emit_containers,
+                    max_members=max_members,
+                    max_member_bytes=max_member_bytes,
+                    max_total_bytes=max_total_bytes,
                 ):
                     rows.append(dict(zip(id_cols, ids)) | r)
             yield pd.DataFrame(rows, columns=out_cols)
