@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "q30_extract_documents",
     "q47_binary_archive_rollup",
     "q48_lang_grid",
+    # round-4 operators (suite totals are therefore NOT comparable to
+    # earlier rounds without subtracting these — per-query numbers are)
+    "q52_sevenz_rollup",
+    "q56_decoded_pixel_sum",
 ]
 
 # rates keep climbing for ~6 passes on a cold JVM (codegen JIT + Python
