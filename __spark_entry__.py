@@ -889,6 +889,31 @@ def q54_ann_planted(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q58_ivf_planted(spark, sf_dir):
+    # IVF-Flat under the same closed-form oracle as q54: identical
+    # prototype vectors necessarily assign to the SAME inverted list
+    # (identical argmax over the codebook, stable sort), so even with
+    # n_probe=1 every query's class members are candidates and the exact
+    # rerank must return the k smallest other same-class ids at cos
+    # exactly 1.0. Exercises k-means training, list assignment, probing
+    # and rerank end-to-end with a hash-checked result.
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    proto = F.col("vec_id") % 17
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda d: F.when(
+            ((proto + 1) * (d + 3) * 7919) % 97 < 48, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    planted = emb.select("vec_id", vec.alias("embedding"))
+    queries_df = planted.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_ivf(
+        planted, queries_df, k=5, n_centroids=8, n_probe=1, sample=512, iters=5
+    ).orderBy("query_id", "rank")
+
+
 def q55_verified_neardup_planted(spark, sf_dir):
     # q41's full shape — signatures → LSH bucket candidates → exact
     # token-set Jaccard verify on candidates only — under a closed-form
@@ -1346,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_verified_neardup_planted": q55_verified_neardup_planted,
         "q56_decoded_pixel_sum": q56_decoded_pixel_sum,
         "q57_bomb_taxonomy": q57_bomb_taxonomy,
+        "q58_ivf_planted": q58_ivf_planted,
         "q44_lang_detect": q44_lang_detect,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
@@ -1985,6 +2011,18 @@ _ORACLES: dict[str, str] = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
         FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+    """,
+    # q58: same closed form as q54 — the IVF path must recover it too
+    "q58_ivf_planted": """
+        WITH p AS (SELECT vec_id, vec_id % 17 AS proto FROM embeddings),
+        q AS (SELECT vec_id AS query_id, proto FROM p WHERE vec_id < 5),
+        cand AS (
+          SELECT q.query_id, p.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY p.vec_id) AS rank
+          FROM q JOIN p ON p.proto = q.proto AND p.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank, 1.0::DOUBLE AS cos_sim
+        FROM cand WHERE rank <= 5 ORDER BY query_id, rank
     """,
     # q52: the 7z reader under a closed-form oracle — member texts are
     # functions of doc_id ('x' * (doc_id%7+1) plain; '<?xml version="1.0"?>'
