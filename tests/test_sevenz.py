@@ -186,3 +186,100 @@ def test_unpack_one_7z_and_nesting():
     bad = sz.SIGNATURE + b"\x00\x04" + b"\x00" * 26
     rows = ba.unpack_one("bad", bad, max_depth=3)
     assert len(rows) == 1 and rows[0]["status"].startswith("corrupt:")
+
+
+def _raw_header_archive(header: bytes, body: bytes = b"") -> bytes:
+    """Wrap an already-built raw header property tree into a full archive."""
+    start_header = (
+        struct.pack("<Q", len(body)) + struct.pack("<Q", len(header))
+        + struct.pack("<I", zlib.crc32(header))
+    )
+    return (
+        sz.SIGNATURE + b"\x00\x04" + struct.pack("<I", zlib.crc32(start_header))
+        + start_header + body + header
+    )
+
+
+def test_implausible_file_count_rejected():
+    """A ~40-byte archive declaring 2^40 files must raise Bad7z BEFORE
+    allocating per-file lists (r4 advice: attacker-controlled counts)."""
+    h = bytearray()
+    h += sz._write_num(sz._K_HEADER)
+    h += sz._write_num(sz._K_FILES_INFO)
+    h += sz._write_num(2**40)  # declared file count >> header bytes
+    h += sz._write_num(sz._K_END)
+    h += sz._write_num(sz._K_END)
+    with pytest.raises(sz.Bad7z, match="implausible"):
+        sz.list_members(_raw_header_archive(bytes(h)), 1 << 20)
+
+
+def test_bad_name_encoding_raises_bad7z():
+    """Lone-surrogate / odd-length UTF-16 name blobs must raise the typed
+    Bad7z, not UnicodeDecodeError (r4 advice: list_members' contract)."""
+    for blob in (b"\x00" + b"\x00\xd8\x00\x00",   # lone surrogate
+                 b"\x00" + b"a\x00b"):            # odd-length payload
+        h = bytearray()
+        h += sz._write_num(sz._K_HEADER)
+        h += sz._write_num(sz._K_FILES_INFO)
+        h += sz._write_num(1)
+        h += sz._write_num(sz._K_NAME)
+        h += sz._write_num(len(blob))
+        h += blob
+        h += sz._write_num(sz._K_END)
+        h += sz._write_num(sz._K_END)
+        with pytest.raises(sz.Bad7z, match="name"):
+            sz.list_members(_raw_header_archive(bytes(h)), 1 << 20)
+
+
+def test_negative_substream_sizes_rejected():
+    """Declared per-substream sizes exceeding the folder's unpack size must
+    raise Bad7z instead of emitting negative-size 'ok' rows (r4 advice)."""
+    body = b"ABCD"
+    h = bytearray()
+    h += sz._write_num(sz._K_HEADER)
+    h += sz._write_num(sz._K_MAIN_STREAMS)
+    h += sz._write_num(sz._K_PACK_INFO)
+    h += sz._write_num(0) + sz._write_num(1)          # pos, 1 pack stream
+    h += sz._write_num(sz._K_SIZE) + sz._write_num(len(body))
+    h += sz._write_num(sz._K_END)
+    h += sz._write_num(sz._K_UNPACK_INFO)
+    h += sz._write_num(sz._K_FOLDER) + sz._write_num(1)
+    h.append(0)                                        # not external
+    h += sz._write_num(1)                              # one coder
+    h.append(0x01)                                     # id size 1
+    h += sz._COPY
+    h += sz._write_num(sz._K_UNPACK_SIZES) + sz._write_num(len(body))
+    h += sz._write_num(sz._K_END)
+    h += sz._write_num(sz._K_SUBSTREAMS)
+    h += sz._write_num(sz._K_NUM_UNPACK_STREAM) + sz._write_num(2)
+    h += sz._write_num(sz._K_SIZE) + sz._write_num(10)  # 10 > folder's 4
+    h += sz._write_num(sz._K_END)
+    h += sz._write_num(sz._K_END)
+    h += sz._write_num(sz._K_END)
+    with pytest.raises(sz.Bad7z, match="substream sizes"):
+        sz.list_members(_raw_header_archive(bytes(h), body), 1 << 20)
+
+
+def test_directories_skipped_empty_files_kept():
+    """Empty-stream entries WITHOUT the kEmptyFile bit are directories and
+    must be skipped (matching zip/tar member filtering); WITH the bit they
+    are zero-byte files (r4 advice). make_7z marks its empties as files."""
+    # make_7z path: empty member round-trips as a zero-byte FILE
+    got = sz.list_members(sz.make_7z([("e.txt", b""), ("a", b"x")]), 1 << 20)
+    assert [(n, d) for n, d, _, _ in got] == [("e.txt", b""), ("a", b"x")]
+
+    # hand-built: two empty-stream entries, only the second marked kEmptyFile
+    names_blob = b"\x00" + "".join(
+        n + "\x00" for n in ("somedir", "empty.txt")
+    ).encode("utf-16-le")
+    h = bytearray()
+    h += sz._write_num(sz._K_HEADER)
+    h += sz._write_num(sz._K_FILES_INFO)
+    h += sz._write_num(2)
+    h += sz._write_num(sz._K_EMPTY_STREAM) + sz._write_num(1) + b"\xc0"
+    h += sz._write_num(sz._K_EMPTY_FILE) + sz._write_num(1) + b"\x40"
+    h += sz._write_num(sz._K_NAME) + sz._write_num(len(names_blob)) + names_blob
+    h += sz._write_num(sz._K_END)
+    h += sz._write_num(sz._K_END)
+    got = sz.list_members(_raw_header_archive(bytes(h)), 1 << 20)
+    assert [(n, d, s) for n, d, s, _ in got] == [("empty.txt", b"", 0)]

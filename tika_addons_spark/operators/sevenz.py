@@ -126,6 +126,15 @@ def _write_num(value: int) -> bytes:
     return b"\xff" + value.to_bytes(8, "little")
 
 
+def _bounded_count(r: _Reader, n: int, what: str) -> int:
+    """Counts read from the header are attacker-controlled; every entry they
+    describe needs at least one header byte, so any count beyond the header
+    length is malformed — reject BEFORE allocating proportional memory."""
+    if n > len(r.b):
+        raise Bad7z(f"implausible {what} count {n}")
+    return n
+
+
 def _read_bitvector(r: _Reader, n: int) -> list[bool]:
     out = []
     mask, byte = 0, 0
@@ -193,7 +202,7 @@ def _parse_streams_info(r: _Reader):
             return pack_pos, pack_sizes, folders
         if t == _K_PACK_INFO:
             pack_pos = r.num()
-            n = r.num()
+            n = _bounded_count(r, r.num(), "pack stream")
             while True:
                 t2 = r.num()
                 if t2 == _K_END:
@@ -214,7 +223,7 @@ def _parse_streams_info(r: _Reader):
                 if t2 == _K_END:
                     break
                 if t2 == _K_FOLDER:
-                    nf = r.num()
+                    nf = _bounded_count(r, r.num(), "folder")
                     if r.byte() != 0:
                         raise Bad7z("external folder data")
                     folders = [_parse_folder(r) for _ in range(nf)]
@@ -237,16 +246,23 @@ def _parse_streams_info(r: _Reader):
                 if t2 == _K_END:
                     break
                 if t2 == _K_NUM_UNPACK_STREAM:
-                    counts = [r.num() for _ in folders]
+                    counts = [
+                        _bounded_count(r, r.num(), "unpack stream")
+                        for _ in folders
+                    ]
                 elif t2 == _K_SIZE:
                     # sizes for all but the last substream of each folder
                     for f, c in zip(folders, counts):
                         sizes = [r.num() for _ in range(c - 1)]
                         sizes.append(f.unpack_size - sum(sizes))
+                        if sizes[-1] < 0:
+                            raise Bad7z("substream sizes exceed folder size")
                         f.substream_sizes = sizes
                 elif t2 == _K_CRC:
-                    total = sum(
-                        c for f, c in zip(folders, counts)
+                    total = _bounded_count(
+                        r,
+                        sum(c for f, c in zip(folders, counts)),
+                        "substream CRC",
                     )
                     all_defined = r.byte()
                     defined = (
@@ -305,10 +321,16 @@ def _decode_folder(f: _Folder, packed: bytes, max_out: int) -> bytes:
 
 
 def _parse_files_info(r: _Reader):
-    """Returns (names, empty_stream_flags)."""
-    n = r.num()
+    """Returns (names, empty_stream_flags, empty_file_flags).
+
+    ``empty_file_flags`` is per-entry (expanded from the spec's
+    empty-stream-subset bit vector): an entry with an empty stream that is
+    NOT marked kEmptyFile is a directory, per ``7zFormat.txt``.
+    """
+    n = _bounded_count(r, r.num(), "file")
     names: list[str] = []
     empty_stream = [False] * n
+    empty_file_subset: list[bool] | None = None
     while True:
         t = r.num()
         if t == _K_END:
@@ -317,19 +339,30 @@ def _parse_files_info(r: _Reader):
         end = r.i + size
         if t == _K_EMPTY_STREAM:
             empty_stream = _read_bitvector(r, n)
+        elif t == _K_EMPTY_FILE:
+            empty_file_subset = _read_bitvector(r, sum(empty_stream))
         elif t == _K_NAME:
             if r.byte() != 0:
                 raise Bad7z("external names")
             raw = r.bytes(end - r.i)
-            parts = raw.decode("utf-16-le").split("\x00")
+            try:
+                parts = raw.decode("utf-16-le").split("\x00")
+            except UnicodeDecodeError as e:
+                raise Bad7z("bad name encoding") from e
             names = parts[:-1] if parts and parts[-1] == "" else parts
-        # every other property (incl. kEmptyFile, times, attrs) is skipped
+        # every other property (times, attrs, ...) is skipped
         r.i = end
     if names and len(names) != n:
         raise Bad7z("name count mismatch")
     if not names:
         names = [f"file{i}" for i in range(n)]
-    return names, empty_stream
+    # expand the empty-file subset vector to per-entry flags
+    empty_file = [False] * n
+    it = iter(empty_file_subset or [])
+    for i, es in enumerate(empty_stream):
+        if es:
+            empty_file[i] = next(it, False)
+    return names, empty_stream, empty_file
 
 
 def list_members(
@@ -367,6 +400,7 @@ def list_members(
     pack_pos, pack_sizes, folders = 0, [], []
     names: list[str] = []
     empty_stream: list[bool] = []
+    empty_file: list[bool] = []
     have_files = False
     while True:
         t = r.num()
@@ -375,14 +409,17 @@ def list_members(
         if t == _K_MAIN_STREAMS:
             pack_pos, pack_sizes, folders = _parse_streams_info(r)
         elif t == _K_FILES_INFO:
-            names, empty_stream = _parse_files_info(r)
+            names, empty_stream, empty_file = _parse_files_info(r)
             have_files = True
         else:
             raise Bad7z(f"unexpected header prop {t:#x}")
     if not have_files:
-        names = [f"file{i}" for i in range(sum(
-            f.num_unpack_streams for f in folders))]
+        n_streams = _bounded_count(
+            r, sum(f.num_unpack_streams for f in folders), "stream"
+        )
+        names = [f"file{i}" for i in range(n_streams)]
         empty_stream = [False] * len(names)
+        empty_file = [False] * len(names)
     if len(pack_sizes) != len(folders):
         # one pack stream per single-coder folder in the supported subset
         raise UnsupportedCoder("pack/folder stream mismatch")
@@ -425,9 +462,14 @@ def list_members(
 
     result = []
     it = iter(payloads)
-    for name, empty in zip(names, empty_stream):
+    for name, empty, is_file in zip(names, empty_stream, empty_file):
         if empty:
-            result.append((name, b"", 0, b""))
+            # empty stream + kEmptyFile bit = zero-byte file; without the
+            # bit it is a directory — skipped, matching the zip/tar paths
+            # (is_dir()/isfile() filtering) and the reference's
+            # PackageParser behavior (Step3Unpacker.java:56-62).
+            if is_file:
+                result.append((name, b"", 0, b""))
         else:
             try:
                 payload, size, head = next(it)
@@ -481,7 +523,17 @@ def make_7z(members: "list[tuple[str, bytes]]") -> bytes:
         h += _write_num(_K_EMPTY_STREAM)
         h += _write_num(len(vec))
         h += bytes(vec)
-        # empty streams default to empty FILES (no kEmptyFile needed)
+        # mark every empty stream as an empty FILE (all-ones kEmptyFile
+        # vector over the empty subset) — without it they read back as
+        # directories per 7zFormat.txt
+        n_empty = sum(empties)
+        fvec = bytes(
+            0xFF if i < n_empty // 8 else (0xFF << (8 - n_empty % 8)) & 0xFF
+            for i in range((n_empty + 7) // 8)
+        )
+        h += _write_num(_K_EMPTY_FILE)
+        h += _write_num(len(fvec))
+        h += fvec
     names_blob = b"\x00" + "".join(n + "\x00" for n, _ in members).encode("utf-16-le")
     h += _write_num(_K_NAME)
     h += _write_num(len(names_blob))

@@ -50,6 +50,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    with_jdbc: bool | None = None,
 ) -> SparkSession:
     """Build a session tuned for the extraction workload.
 
@@ -92,9 +93,15 @@ def get_spark(
     # cluster this is the NVMe/ramdisk shuffle-dir best practice.
     if os.path.isdir("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
-    jdbc_jar = find_jdbc_driver_jar()
-    if jdbc_jar:
-        builder = builder.config("spark.jars", jdbc_jar)
+    # JDBC driver jar is attached only on explicit opt-in (with_jdbc=True or
+    # SPARK_GRAFT_JDBC=1): a stale/corrupt cached jar must not silently
+    # change the classpath of sessions that never touch a jdbc: URL.
+    if with_jdbc is None:
+        with_jdbc = os.environ.get("SPARK_GRAFT_JDBC", "") == "1"
+    if with_jdbc:
+        jdbc_jar = find_jdbc_driver_jar()
+        if jdbc_jar:
+            builder = builder.config("spark.jars", jdbc_jar)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
