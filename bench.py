@@ -75,10 +75,32 @@ def transcripts_cache(spark, sf: float) -> str:
     return path
 
 
+def _wait_for_quiet(threshold: float, budget_sec: float) -> tuple[float, bool]:
+    """Opportunistic gating (same pattern as bench/scaling_interleaved.py):
+    poll the 1-min load and delay the measurement until it drops below
+    ``threshold``, up to ``budget_sec``; co-tenant bursts on this shared
+    host otherwise contaminate per-query numbers by 2-3x. Returns
+    (load_at_start, clean)."""
+    deadline = time.time() + budget_sec
+    while True:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return -1.0, False
+        if load1 <= threshold:
+            return round(load1, 1), True
+        if time.time() >= deadline:
+            return round(load1, 1), False
+        time.sleep(15)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     sf = _sf_of(sf_dir)
+    load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", 4.0))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", 600))
+    load_start, clean = _wait_for_quiet(load_threshold, wait_budget)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
     tpath = transcripts_cache(spark, sf)
@@ -100,17 +122,22 @@ def main() -> None:
     t_extract = min(ex_times)
     timings["extract_transcripts"] = round(t_extract, 3)
 
+    import statistics
+
     qmap = entry.queries()
+    timings_median: dict[str, float] = {
+        "extract_transcripts": round(statistics.median(ex_times), 3)
+    }
     for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):  # one warm + one timed; keep the best
+        runs = []
+        for _ in range(3):  # one warm + two timed
             t0 = time.time()
             qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        timings_median[name] = round(statistics.median(runs[1:]), 3)
 
     total = round(sum(timings.values()), 3)
-    import statistics
 
     # 1-min load average at measurement end: the honesty signal the judge
     # asked for — a high value marks the whole line as noise-contaminated
@@ -135,6 +162,14 @@ def main() -> None:
                     round(n_turns / t, 1) for t in ex_times
                 ],
                 "loadavg_1min": load1,
+                "loadavg_at_start": load_start,
+                # clean = a sub-threshold 1-min-load window was found before
+                # measuring (threshold SPARK_GRAFT_BENCH_LOAD_MAX, wait
+                # budget SPARK_GRAFT_BENCH_WAIT_SEC); false marks the whole
+                # line as co-tenant-contaminated
+                "clean": clean,
+                "queries_median": timings_median,
+                "suite_median_sec": round(sum(timings_median.values()), 3),
                 "cpus": cpus,
             }
         )
