@@ -845,6 +845,65 @@ def q57_bomb_taxonomy(spark, sf_dir):
     )
 
 
+def q59_extract_planted(spark, sf_dir):
+    # The EXTRACTION KERNEL itself (q30's planted twin — the engine's core
+    # product) under a closed-form per-turn oracle, the equality bar of the
+    # reference's MultiComparer.java:99-133: per doc, the input text is a
+    # deterministic function of doc_id routed across all three markup paths
+    # — plain (F1/F2 identity), xml (identity), and a full html document
+    # where the density scorer must KEEP two ≥8-word content blocks, DROP
+    # the nav/footer/script boilerplate, lift <title> out of the body and
+    # <meta author> into meta — plus the empty/rejected taxonomy path.
+    # DuckDB rebuilds the expected extracted text from doc_id arithmetic
+    # and hash-checks sha256 per turn; a wrong block score, join character,
+    # title leak, or status roll-up breaks the match.
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    i = F.col("doc_id")
+    v = (i % 89).cast("string")
+    v3 = ((i * 3) % 89).cast("string")
+    plain = F.concat(F.lit("plain alpha "), v, F.lit(" bravo charlie delta"))
+    xml = F.concat(F.lit('<?xml version="1.0"?><r>v '), v, F.lit("</r>"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i.cast("string"),
+        F.lit('</title><meta name="author" content="writer '),
+        (i % 7).cast("string"),
+        F.lit('"></head><body><nav>home about contact pricing team blog'
+              " careers support more</nav><p>alpha beta gamma delta epsilon"
+              " zeta eta theta "),
+        v,
+        F.lit("</p><p>iota kappa lambda mu nu xi omicron pi rho "),
+        v3,
+        F.lit("</p><script>var x = "), i.cast("string"),
+        F.lit(";</script><footer>copyright footer legal terms privacy"
+              " imprint contact map</footer></body></html>"),
+    )
+    text = (
+        F.when(i % 4 == 0, plain)
+        .when(i % 4 == 1, xml)
+        .when(i % 4 == 2, html)
+        .otherwise(F.lit("   "))  # whitespace-only → rejected taxonomy
+    )
+    turns = d.select(
+        F.concat(F.lit("doc-"), i).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return extract_turns(turns).select(
+        "conv_id",
+        F.col("detected_content_type").alias("ctype"),
+        "parse_status",
+        "title",
+        F.sha2(F.col("extracted_text"), 256).alias("text_sha"),
+        F.col("chars_in").cast("long").alias("chars_in"),
+        F.col("chars_out").cast("long").alias("chars_out"),
+    ).orderBy("conv_id")
+
+
 def q53_simhash_planted_pairs(spark, sf_dir):
     # SimHash pigeonhole candidate machinery under a closed-form oracle:
     # identical planted texts → identical 64-bit simhash → every block
@@ -1364,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_decoded_pixel_sum": q56_decoded_pixel_sum,
         "q57_bomb_taxonomy": q57_bomb_taxonomy,
         "q58_ivf_planted": q58_ivf_planted,
+        "q59_extract_planted": q59_extract_planted,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
         "q46_extension_fix_audit": q46_extension_fix_audit,
@@ -2030,6 +2090,52 @@ _ORACLES: dict[str, str] = {
           FROM q JOIN p ON p.proto = q.proto AND p.vec_id != q.query_id)
         SELECT query_id, neighbor_id, rank, 1.0::DOUBLE AS cos_sim
         FROM cand WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    # q59: the extraction kernel under a closed-form oracle — DuckDB
+    # rebuilds both the INPUT text (for chars_in) and the expected
+    # EXTRACTED text (for the sha256 hash check) from doc_id arithmetic:
+    # plain/xml are F1/F2 fixed points; the html case keeps exactly the
+    # two ≥8-word content blocks joined by \n with the title lifted out.
+    "q59_extract_planted": """
+        WITH p AS (
+          SELECT doc_id, doc_id % 4 AS k,
+                 CAST(doc_id % 89 AS VARCHAR) AS v,
+                 CAST((doc_id * 3) % 89 AS VARCHAR) AS v3,
+                 CAST(doc_id % 7 AS VARCHAR) AS w,
+                 CAST(doc_id AS VARCHAR) AS s
+          FROM documents),
+        e AS (
+          SELECT 'doc-' || s AS conv_id, k,
+            CASE k WHEN 0 THEN 'plain alpha ' || v || ' bravo charlie delta'
+                   WHEN 1 THEN '<?xml version="1.0"?><r>v ' || v || '</r>'
+                   WHEN 2 THEN '<html><head><title>Doc ' || s
+                     || '</title><meta name="author" content="writer ' || w
+                     || '"></head><body><nav>home about contact pricing team'
+                     || ' blog careers support more</nav><p>alpha beta gamma'
+                     || ' delta epsilon zeta eta theta ' || v
+                     || '</p><p>iota kappa lambda mu nu xi omicron pi rho '
+                     || v3 || '</p><script>var x = ' || s
+                     || ';</script><footer>copyright footer legal terms'
+                     || ' privacy imprint contact map</footer></body></html>'
+                   ELSE '   ' END AS input_text,
+            CASE k WHEN 0 THEN 'plain alpha ' || v || ' bravo charlie delta'
+                   WHEN 1 THEN '<?xml version="1.0"?><r>v ' || v || '</r>'
+                   WHEN 2 THEN 'alpha beta gamma delta epsilon zeta eta'
+                     || ' theta ' || v || chr(10)
+                     || 'iota kappa lambda mu nu xi omicron pi rho ' || v3
+                   ELSE '' END AS extracted,
+            CASE k WHEN 0 THEN 'text/plain'
+                   WHEN 1 THEN 'application/xml'
+                   WHEN 2 THEN 'text/html'
+                   ELSE 'text/plain' END AS ctype,
+            CASE WHEN k = 3 THEN 'rejected' ELSE 'valid' END AS parse_status,
+            CASE WHEN k = 2 THEN 'Doc ' || s ELSE NULL END AS title
+          FROM p)
+        SELECT conv_id, ctype, parse_status, title,
+               sha256(extracted) AS text_sha,
+               length(input_text)::BIGINT AS chars_in,
+               length(extracted)::BIGINT AS chars_out
+        FROM e ORDER BY conv_id
     """,
     # q52: the 7z reader under a closed-form oracle — member texts are
     # functions of doc_id ('x' * (doc_id%7+1) plain; '<?xml version="1.0"?>'
