@@ -753,12 +753,16 @@ def q49_embedded_member_extract(spark, sf_dir):
 
 def q56_decoded_pixel_sum(spark, sf_dir):
     # The pixel DECODERS under a closed-form oracle: per doc, genuine PNG
-    # (even ids; zlib + cycling scanline filters) or GIF (odd ids; real
-    # LZW stream) bytes are synthesized, decoded back by the from-scratch
-    # decoders, and reduced to the exact integer sum of the red channel —
-    # which DuckDB predicts from the gradient formula ((x*7+y*3)%256 over
-    # the w×h grid) without touching any bytes. A wrong unfilter, LZW
-    # table, or palette lookup changes the sum and breaks the hash match.
+    # (zlib + cycling scanline filters), GIF (real LZW stream), or 4:2:0
+    # chroma-subsampled color JPEG (interleaved 16×16 MCUs, every third
+    # one with restart intervals) bytes are synthesized, decoded back by
+    # the from-scratch decoders, and reduced to the exact integer sum of
+    # the red channel — which DuckDB predicts without touching any bytes:
+    # PNG/GIF from the gradient formula ((x*7+y*3)%256), JPEG from the
+    # 16×16-tile-constant luma (constant-per-MCU content survives the
+    # flat-q DCT round trip EXACTLY, making a lossy format oracle-able).
+    # A wrong unfilter, LZW table, palette lookup, MCU raster order,
+    # chroma upsample, or restart re-alignment breaks the hash match.
     import pandas as pd
 
     from tika_addons_spark.operators import multimodal
@@ -773,14 +777,22 @@ def q56_decoded_pixel_sum(spark, sf_dir):
             for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 16 + i % 32, 8 + i % 16
-                if i % 2 == 0:
+                if i % 3 == 0:
                     payload = multimodal.make_png(w, h)
                     px = multimodal.decode_png(payload)
                     fmts.append("png")
-                else:
+                elif i % 3 == 1:
                     payload = multimodal.make_gif(w, h)
                     px = multimodal.decode_gif(payload)
                     fmts.append("gif")
+                else:
+                    ntx, nty = 1 + i % 4, 1 + i % 5
+                    payload = multimodal.make_jpeg_420(
+                        16 * ntx, 16 * nty, base=40 + i % 80,
+                        restart_interval=(i // 3) % 4,
+                    )
+                    px = multimodal.decode_jpeg(payload)
+                    fmts.append("jpg420")
                 sums.append(int(px[:, :, 0].astype("int64").sum()))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fmt": fmts, "red_sum": sums}
@@ -2013,9 +2025,9 @@ _ORACLES: dict[str, str] = {
     "q56_decoded_pixel_sum": """
         WITH dims AS (
           SELECT doc_id,
-                 CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+                 CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'gif' END AS fmt,
                  16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
-          FROM documents),
+          FROM documents WHERE doc_id % 3 < 2),
         -- static max-size grid, bounded per row by join conditions
         -- (DuckDB's generate_series can't take correlated parameters)
         grid_sums AS (
@@ -2024,9 +2036,24 @@ _ORACLES: dict[str, str] = {
           FROM dims d
           JOIN generate_series(0, 46) AS gx(x) ON gx.x < d.w
           JOIN generate_series(0, 22) AS gy(y) ON gy.y < d.h
-          GROUP BY d.doc_id, d.fmt)
+          GROUP BY d.doc_id, d.fmt),
+        -- jpg420: 16x16-tile-constant luma, flat chroma -> red(x,y) =
+        -- base + 7*(x//16) + 3*(y//16); 256 px per tile, closed form
+        jpg_sums AS (
+          SELECT doc_id, 'jpg420' AS fmt,
+                 256 * ((1 + doc_id % 4) * (1 + doc_id % 5)
+                          * (40 + doc_id % 80)
+                        + 7 * (1 + doc_id % 5)
+                            * ((doc_id % 4) * (1 + doc_id % 4) / 2)
+                        + 3 * (1 + doc_id % 4)
+                            * ((doc_id % 5) * (1 + doc_id % 5) / 2)
+                 ) AS red_sum
+          FROM documents WHERE doc_id % 3 = 2),
+        all_sums AS (
+          SELECT fmt, red_sum FROM grid_sums
+          UNION ALL SELECT fmt, red_sum FROM jpg_sums)
         SELECT fmt, count(*)::BIGINT AS n, sum(red_sum)::BIGINT AS total_red
-        FROM grid_sums GROUP BY fmt ORDER BY fmt
+        FROM all_sums GROUP BY fmt ORDER BY fmt
     """,
     # q57: status histogram of the bomb taxonomy, predicted from doc_id
     # arithmetic (2 ok rows per normal zip; declared-size and

@@ -244,6 +244,43 @@ def test_jpeg_decode_roundtrip():
     assert multimodal.decode_jpeg(good[: len(good) // 2]) is None
 
 
+def test_jpeg_420_decode_exact():
+    """4:2:0 chroma-subsampled color JPEG — the dominant real-world shape:
+    interleaved 16x16 MCUs (4 luma + Cb + Cr blocks in raster order),
+    chroma upsampled 2x2, optional restart intervals with DC-predictor
+    reset. Constant-per-MCU content survives the flat-q DCT round trip
+    EXACTLY, so the decode is checked for equality, not bounded error."""
+    import numpy as np
+
+    for w, h, base, ri in ((32, 32, 40, 0), (48, 16, 60, 0),
+                           (40, 24, 55, 3), (16, 16, 0, 1)):
+        px = multimodal.decode_jpeg(
+            multimodal.make_jpeg_420(w, h, base=base, restart_interval=ri)
+        )
+        assert px is not None and px.shape == (h, w, 3), (w, h, ri)
+        exp = multimodal.tile_luma(w, h, base)
+        for c in range(3):  # flat 128 chroma -> R = G = B = Y exactly
+            assert (px[:, :, c].astype(np.int64) == exp).all(), (w, h, ri, c)
+
+    # non-neutral constant chroma: exact against the T.81 YCbCr->RGB form
+    y = multimodal.tile_luma(32, 32, 80).astype(np.float64)
+    cb, cr = 90.0, 160.0
+    px = multimodal.decode_jpeg(
+        multimodal.make_jpeg_420(32, 32, base=80, chroma=(int(cb), int(cr)))
+    )
+    exp = np.stack([
+        np.rint(np.clip(y + 1.402 * (cr - 128), 0, 255)),
+        np.rint(np.clip(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                        0, 255)),
+        np.rint(np.clip(y + 1.772 * (cb - 128), 0, 255)),
+    ], axis=-1)
+    assert (px.astype(np.float64) == exp).all()
+
+    # truncated subsampled stream → None, never raises
+    good = multimodal.make_jpeg_420(32, 32)
+    assert multimodal.decode_jpeg(good[: len(good) // 2]) is None
+
+
 def test_wav_decode_roundtrip():
     import numpy as np
 

@@ -15,7 +15,7 @@ IDCT), and WAV PCM (RIFF chunk walk, 8/16-bit) — pure stdlib/numpy,
 round-trip-tested against synthesizers that emit genuine compressed
 content. ``decode_stub=False`` uses them and emits content-derived
 features with a ``decoded`` flag; malformed payloads and formats outside
-the decoders' envelopes (progressive/subsampled JPEG, interlaced PNG)
+the decoders' envelopes (progressive JPEG, interlaced PNG)
 fall back per row with ``decoded=false`` — the job never fails (X5). The
 Spark-side plumbing — schema, batching, partitioning, UDF signature — is
 identical for both paths.
@@ -439,7 +439,8 @@ def decode_gif(payload: bytes) -> "np.ndarray | None":
 # flat mild table, so the synthetic gradient round-trips within a small
 # error bound (asserted in tests). The decoder reads whatever tables the
 # file declares — it is a real baseline decoder, not an inverse of private
-# conventions (restart intervals unsupported; progressive/subsampled → None).
+# conventions (4:2:0/4:2:2 subsampling and restart intervals included;
+# progressive → None).
 
 def _jpeg_zigzag() -> "np.ndarray":
     """The T.81 zigzag scan order as 64 flat indices into a row-major 8×8."""
@@ -524,6 +525,49 @@ class _JpegBitWriter:
         return bytes(self.buf)
 
 
+def _plane_to_zz(plane: "np.ndarray") -> "np.ndarray":
+    """Level-shifted float plane (dims multiples of 8) → per-block
+    quantized zigzag coefficients, shape (nby, nbx, 64)."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
+    return np.rint(
+        coeffs.reshape(nby, nbx, 64)[:, :, _ZIGZAG] / _JPEG_Q[None, None, :]
+    ).astype(np.int64)
+
+
+def _encode_block(w: "_JpegBitWriter", blk: "np.ndarray", dc_prev: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    diff = int(blk[0]) - dc_prev
+    size = abs(diff).bit_length()
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        c = int(blk[k])
+        if c == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            run -= 16
+        size = abs(c).bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(c if c >= 0 else c + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return int(blk[0])
+
+
 def make_jpeg(width: int, height: int) -> bytes:
     """Genuine baseline sequential grayscale JFIF with REAL entropy-coded
     scan data: the deterministic gradient (``synth_pixels`` red channel) is
@@ -535,44 +579,15 @@ def make_jpeg(width: int, height: int) -> bytes:
     ph = (-height) % 8
     pw = (-width) % 8
     g = np.pad(gray, ((0, ph), (0, pw)), mode="edge") - 128.0
-    nby, nbx = g.shape[0] // 8, g.shape[1] // 8
-    blocks = g.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    coeffs = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
-    q = np.rint(coeffs.reshape(nby * nbx, 64)[:, _ZIGZAG] / _JPEG_Q[None, :]).astype(np.int64)
+    zz = _plane_to_zz(g)
+    nby, nbx = zz.shape[0], zz.shape[1]
 
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     dc_prev = 0
-    for blk in q:
-        diff = int(blk[0]) - dc_prev
-        dc_prev = int(blk[0])
-        size = abs(diff).bit_length()
-        code, length = dc_codes[size]
-        w.write(code, length)
-        if size:
-            w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-        run = 0
-        last_nz = 0
-        nz = np.nonzero(blk[1:])[0]
-        last_nz = (nz[-1] + 1) if len(nz) else 0
-        for k in range(1, last_nz + 1):
-            c = int(blk[k])
-            if c == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = ac_codes[0xF0]
-                w.write(code, length)
-                run -= 16
-            size = abs(c).bit_length()
-            code, length = ac_codes[(run << 4) | size]
-            w.write(code, length)
-            w.write(c if c >= 0 else c + (1 << size) - 1, size)
-            run = 0
-        if last_nz < 63:
-            code, length = ac_codes[0x00]  # EOB
-            w.write(code, length)
+    for blk in zz.reshape(nby * nbx, 64):
+        dc_prev = _encode_block(w, blk, dc_prev, dc_codes, ac_codes)
     scan = w.finish()
 
     app0 = (
@@ -594,6 +609,113 @@ def make_jpeg(width: int, height: int) -> bytes:
     )
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
     return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+def tile_luma(width: int, height: int, base: int) -> "np.ndarray":
+    """The deterministic 16×16-tile-constant luma plane ``make_jpeg_420``
+    encodes: pixel (x, y) has Y = base + 7*(x//16) + 3*(y//16). Values must
+    stay in [0, 255] — callers bound base accordingly. Constant-per-MCU
+    content survives the flat-q DCT round trip EXACTLY (only an integer DC
+    coefficient is produced), which is what makes the q56 oracle's
+    closed-form red sum possible for a lossy format."""
+    tx = np.arange(width, dtype=np.int64) // 16
+    ty = np.arange(height, dtype=np.int64) // 16
+    return base + 7 * tx[None, :] + 3 * ty[:, None]
+
+
+def make_jpeg_420(
+    width: int,
+    height: int,
+    base: int = 40,
+    chroma: tuple[int, int] = (128, 128),
+    restart_interval: int = 0,
+) -> bytes:
+    """Genuine baseline JFIF with 4:2:0 chroma subsampling — the dominant
+    real-world JPEG shape (Y sampling 2×2, Cb/Cr 1×1, interleaved
+    16×16-pixel MCUs), optionally with restart intervals (DRI + RSTn
+    markers every ``restart_interval`` MCUs, DC predictors reset).
+
+    Content: ``tile_luma`` Y plane (constant per MCU) and constant chroma,
+    so the decode round trip is exact; with ``chroma == (128, 128)`` the
+    decoded RGB equals the Y plane on all three channels."""
+    import struct
+
+    ph, pw = (-height) % 16, (-width) % 16
+    y_plane = np.pad(
+        tile_luma(width, height, base).astype(np.float64),
+        ((0, ph), (0, pw)), mode="edge",
+    ) - 128.0
+    ch, cw = y_plane.shape[0] // 2, y_plane.shape[1] // 2
+    cb_plane = np.full((ch, cw), float(chroma[0]) - 128.0)
+    cr_plane = np.full((ch, cw), float(chroma[1]) - 128.0)
+
+    zz_y = _plane_to_zz(y_plane)          # (2*mcuy, 2*mcux, 64)
+    zz_cb = _plane_to_zz(cb_plane)        # (mcuy, mcux, 64)
+    zz_cr = _plane_to_zz(cr_plane)
+    mcuy, mcux = zz_cb.shape[0], zz_cb.shape[1]
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    dc_prev = [0, 0, 0]
+    scan = bytearray()
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                scan += w.finish()         # byte-align the segment
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w = _JpegBitWriter()
+                dc_prev = [0, 0, 0]
+            for dy in range(2):            # 4 luma blocks, raster order
+                for dx in range(2):
+                    dc_prev[0] = _encode_block(
+                        w, zz_y[2 * my + dy, 2 * mx + dx], dc_prev[0],
+                        dc_codes, ac_codes,
+                    )
+            dc_prev[1] = _encode_block(
+                w, zz_cb[my, mx], dc_prev[1], dc_codes, ac_codes
+            )
+            dc_prev[2] = _encode_block(
+                w, zz_cr[my, mx], dc_prev[2], dc_codes, ac_codes
+            )
+            mcu_n += 1
+    scan += w.finish()
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
+        int(x) for x in _JPEG_Q
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x03"
+        + b"\x01\x22\x00"                  # Y: 2x2 sampling, qtable 0
+        + b"\x02\x11\x00"                  # Cb: 1x1
+        + b"\x03\x11\x00"                  # Cr: 1x1
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval else b""
+    )
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03"
+        + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + dri + sos
+        + bytes(scan) + b"\xff\xd9"
+    )
 
 
 def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
@@ -623,16 +745,20 @@ def synth_samples(n: int) -> "np.ndarray":
 # LZW (LSB-first, CLEAR/END, 12-bit cap) + palette lookup (decode_gif below,
 # next to the codec). WAV: PCM sample decode (8/16 bit). JPEG: baseline
 # sequential Huffman+IDCT decode (decode_jpeg below, next to the encoder);
-# progressive/subsampled/restart-interval streams return None.
+# sampling factors up to 2x2 (4:2:0/4:2:2) and restart intervals are
+# decoded; progressive streams return None.
 # ---------------------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> "np.ndarray | None":
     """(height, width, channels) uint8 from a baseline sequential JFIF, or
     None if not decodable. Real T.81 machinery: DQT/DHT tables are read
     from the file (any spec-valid tables, not just ours), entropy data is
-    un-stuffed and Huffman-decoded per 8×8 block, dequantized through the
-    zigzag, and reconstructed with the orthonormal IDCT. Supported: 8-bit
-    SOF0/SOF1, 1 or 3 components with no chroma subsampling (h=v=1), no
-    restart intervals; anything else → None, never raises."""
+    un-stuffed and Huffman-decoded per interleaved MCU, dequantized through
+    the zigzag, reconstructed with the orthonormal IDCT, and chroma planes
+    are upsampled to full resolution. Supported: 8-bit SOF0/SOF1, 1 or 3
+    components with sampling factors in {1, 2} (covers 4:4:4, 4:2:2,
+    4:4:0 and the dominant real-world 4:2:0 shape), restart intervals
+    (DRI + RSTn, DC predictors reset per segment); progressive /
+    arithmetic / hierarchical → None, never raises."""
     try:
         b = payload
         if not b.startswith(b"\xff\xd8"):
@@ -643,6 +769,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         frame = None
         scan_comps = None
         scan_start = None
+        restart_interval = 0
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
@@ -669,9 +796,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                 comps = []
                 for c in range(ncomp):
                     cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                    if samp != 0x11:
-                        return None  # subsampling unsupported
-                    comps.append((cid, tq))
+                    hi, vi = samp >> 4, samp & 0xF
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None  # sampling beyond 2x2 unsupported
+                    comps.append((cid, hi, vi, tq))
+                if ncomp == 1:
+                    # non-interleaved single-component scan uses the
+                    # component's own 8x8 grid (T.81 A.2.2)
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
                 frame = (h, w, comps)
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
@@ -694,8 +826,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                     htables[(tc, th)] = dec
                     i += 17 + n
             elif marker == 0xDD:  # DRI
-                if int.from_bytes(body[:2], "big") != 0:
-                    return None  # restart intervals unsupported
+                restart_interval = int.from_bytes(body[:2], "big")
             elif marker == 0xDA:  # SOS
                 ns = body[0]
                 scan_comps = [
@@ -713,7 +844,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         if len(scan_comps) != len(comps):
             return None
 
-        # un-stuff the entropy stream up to the next marker
+        # un-stuff the entropy stream up to the next marker; RSTn markers
+        # are dropped in place (the decoder re-aligns to the byte boundary
+        # at each restart, which lands exactly where the segment resumes)
         data = bytearray()
         i = scan_start
         while i < len(b):
@@ -721,6 +854,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
             if c == 0xFF:
                 if i + 1 < len(b) and b[i + 1] == 0x00:
                     data.append(0xFF)
+                    i += 2
+                    continue
+                if i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
                     i += 2
                     continue
                 break  # real marker terminates the scan
@@ -759,49 +895,70 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         def extend(v: int, size: int) -> int:
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-        nby, nbx = (h + 7) // 8, (w + 7) // 8
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         comp_q = []
         comp_dc = []
         comp_ac = []
-        for (cid, tq), (sid, td, ta) in zip(comps, scan_comps):
+        for (cid, hi, vi, tq), (sid, td, ta) in zip(comps, scan_comps):
             if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
                 return None
             comp_q.append(qtables[tq])
             comp_dc.append(htables[(0, td)])
             comp_ac.append(htables[(1, ta)])
         planes = [
-            np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in comps
+            np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+            for c in comps
         ]
         dc_prev = [0] * len(comps)
         m = _DCT_M
         inv_zz = _ZIGZAG
-        for by in range(nby):
-            for bx in range(nbx):
-                for ci in range(len(comps)):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = huff_decode(comp_dc[ci])
-                    diff = extend(read_bits(size), size) if size else 0
-                    dc_prev[ci] += diff
-                    zz[0] = dc_prev[ci]
-                    k = 1
-                    while k < 64:
-                        sym = huff_decode(comp_ac[ci])
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 0xF
-                        k += run
-                        if k > 63 or size == 0:
-                            return None
-                        zz[k] = extend(read_bits(size), size)
-                        k += 1
-                    coeff = np.zeros(64, dtype=np.float64)
-                    coeff[inv_zz] = zz * comp_q[ci]
-                    block = m.T @ coeff.reshape(8, 8) @ m
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        out = [np.clip(p[:h, :w] + 128.0, 0, 255) for p in planes]
+
+        def decode_block(ci: int, by: int, bx: int) -> None:
+            zz = np.zeros(64, dtype=np.int64)
+            size = huff_decode(comp_dc[ci])
+            diff = extend(read_bits(size), size) if size else 0
+            dc_prev[ci] += diff
+            zz[0] = dc_prev[ci]
+            k = 1
+            while k < 64:
+                sym = huff_decode(comp_ac[ci])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("bad AC run")
+                zz[k] = extend(read_bits(size), size)
+                k += 1
+            coeff = np.zeros(64, dtype=np.float64)
+            coeff[inv_zz] = zz * comp_q[ci]
+            block = m.T @ coeff.reshape(8, 8) @ m
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+        mcu_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and mcu_n
+                        and mcu_n % restart_interval == 0):
+                    bitpos = (bitpos + 7) & ~7  # byte-align past RSTn
+                    dc_prev[:] = [0] * len(comps)
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            decode_block(ci, my * vi + dy, mx * hi + dx)
+                mcu_n += 1
+        out = []
+        for p, (cid, hi, vi, tq) in zip(planes, comps):
+            if hi != hmax or vi != vmax:  # chroma upsample to full res
+                p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+            out.append(np.clip(p[:h, :w] + 128.0, 0, 255))
         if len(out) == 1:
             return np.rint(out[0]).astype(np.uint8)[:, :, None]
         y, cb, cr = out
