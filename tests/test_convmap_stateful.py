@@ -125,8 +125,14 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
 def test_streaming_minhash_neardup_across_microbatches(spark, tmp_path):
     """Crawl-shape near-dup: a doc arriving in a LATER micro-batch must be
     paired against bucket members remembered from EARLIER batches, and the
-    hot-bucket saturation latch must bound state and output."""
-    from tika_addons_spark.streaming.stateful import streaming_minhash_neardup
+    write_neardup_stream wrapper must deliver each pair ONCE per
+    micro-batch (batch-path .distinct() contract) with NO caller-side
+    dedup — a pair identical in every band would otherwise land
+    n_bands times."""
+    from tika_addons_spark.streaming.stateful import (
+        streaming_minhash_neardup,
+        write_neardup_stream,
+    )
 
     src = tmp_path / "ndsrc"
     src.mkdir()
@@ -141,20 +147,21 @@ def test_streaming_minhash_neardup_across_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src) + "/*")
     )
+    landed = []
+
+    def sink(batch_df, batch_id):
+        landed.extend(batch_df.collect())
+
     q = (
-        streaming_minhash_neardup(stream, threshold=0.9)
-        .writeStream.format("memory")
-        .queryName("stream_neardup")
-        .outputMode("append")
+        write_neardup_stream(streaming_minhash_neardup(stream, threshold=0.9), sink)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    rows = spark.sql(
-        "SELECT DISTINCT id_a, id_b, est_jaccard FROM stream_neardup"
-    ).collect()
-    assert {(r.id_a, r.id_b) for r in rows} == {("d1", "d3")}
-    assert all(r.est_jaccard == 1.0 for r in rows)
+    # raw row count == distinct pair count: multiplicity folded in
+    assert [(r.id_a, r.id_b) for r in landed] == [("d1", "d3")]
+    assert all(r.est_jaccard == 1.0 for r in landed)
+    assert "band" not in (landed[0].asDict() if landed else {})
 
 
 def test_streaming_neardup_hot_bucket_saturates(spark, tmp_path):

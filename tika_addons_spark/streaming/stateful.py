@@ -186,9 +186,12 @@ def streaming_minhash_neardup(
     batch path, where boilerplate mega-families belong to exact dedup).
 
     A pair colliding in k bands is emitted k times (per-bucket state has
-    no cross-bucket view); downstream dedupes with
-    ``dropDuplicates(["id_a","id_b"])`` per micro-batch, exactly like the
-    batch path's ``.distinct()``."""
+    no cross-bucket view); attach the sink with
+    :func:`write_neardup_stream`, which folds the per-micro-batch
+    ``dropDuplicates(["id_a","id_b"])`` into the operator's contract so
+    callers see the batch path's ``.distinct()`` semantics. Raw band-level
+    rows (with their ``band`` column showing multiplicity) are only for
+    callers that deliberately bypass the wrapper."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import _banded, minhash_signatures
@@ -206,6 +209,24 @@ def streaming_minhash_neardup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def write_neardup_stream(pairs: DataFrame, sink):
+    """Attach a sink to :func:`streaming_minhash_neardup` output with the
+    batch path's pair semantics: each micro-batch is reduced to distinct
+    (id_a, id_b) pairs (a pair colliding in k bands would otherwise land
+    k times — the r4-flagged contract mismatch vs the batch
+    ``.distinct()``). ``sink(batch_df, batch_id)`` receives the deduped
+    micro-batch; returns the DataStreamWriter (caller adds trigger/start).
+    """
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        sink(
+            batch_df.dropDuplicates(["id_a", "id_b"]).drop("band", "bucket"),
+            batch_id,
+        )
+
+    return pairs.writeStream.foreachBatch(fold_batch)
 
 
 def conversation_running_state(stream: DataFrame) -> DataFrame:
