@@ -131,6 +131,39 @@ HELDOUT_HARD = {
            "el metge li va dir que descansés una setmana i que begués molta aigua"],
     "sk": ["v noci hviezdy jasne žiarili nad studenými horami a počítali sme ich kým sme nezaspali",
            "lekár mu povedal aby týždeň odpočíval a pil veľa vody"],
+    # round-5 tranche
+    "fa": ["شب ستاره ها بر فراز کوه های سرد می درخشیدند و ما آنها را می شمردیم تا خوابمان برد",
+           "پزشک به او گفت یک هفته استراحت کند و آب فراوان بنوشد"],
+    "ur": ["رات کو ستارے ٹھنڈے پہاڑوں کے اوپر چمک رہے تھے اور ہم سونے تک انہیں گنتے رہے",
+           "ڈاکٹر نے اسے کہا کہ ایک ہفتہ آرام کرے اور خوب پانی پیے"],
+    "bn": ["রাতে ঠান্ডা পাহাড়ের উপরে তারাগুলো উজ্জ্বল হয়ে জ্বলছিল আর আমরা ঘুমিয়ে পড়া পর্যন্ত সেগুলো গুনছিলাম",
+           "ডাক্তার তাকে এক সপ্তাহ বিশ্রাম নিতে আর অনেক পানি খেতে বললেন"],
+    "ta": ["இரவில் குளிர்ந்த மலைகளின் மேலே நட்சத்திரங்கள் பிரகாசமாக மின்னின நாங்கள் தூங்கும் வரை அவற்றை எண்ணினோம்",
+           "மருத்துவர் அவனை ஒரு வாரம் ஓய்வு எடுக்கவும் நிறைய தண்ணீர் குடிக்கவும் சொன்னார்"],
+    "te": ["రాత్రి చల్లని కొండల మీద నక్షత్రాలు ప్రకాశంగా మెరిశాయి మేము నిద్రపోయే వరకు వాటిని లెక్కించాము",
+           "వైద్యుడు అతనికి ఒక వారం విశ్రాంతి తీసుకోమని నీళ్లు బాగా తాగమని చెప్పాడు"],
+    "ka": ["ღამით ვარსკვლავები კაშკაშა ანათებდნენ ცივი მთების თავზე და ჩვენ ვითვლიდით მათ სანამ არ დაგვეძინა",
+           "ექიმმა უთხრა რომ ერთი კვირა დაესვენა და ბევრი წყალი დაელია"],
+    "hy": ["գիշերը աստղերը պայծառ փայլում էին սառը լեռների վրա և մենք հաշվում էինք դրանք մինչև քնեցինք",
+           "բժիշկը նրան ասաց մի շաբաթ հանգստանալ և շատ ջուր խմել"],
+    "sr": ["ноћу су звезде сјајно сијале над хладним планинама и бројали смо их док нисмо заспали",
+           "лекар му је рекао да се одмара недељу дана и да пије много воде"],
+    "mk": ["ноќе ѕвездите силно светеа над студените планини и ние ги броевме додека не заспавме",
+           "лекарот му рече да одмора една седмица и да пие многу вода"],
+    "hr": ["noću su zvijezde sjajno sjale nad hladnim planinama i brojali smo ih dok nismo zaspali",
+           "liječnik mu je rekao da se odmara tjedan dana i da pije mnogo vode"],
+    "sl": ["ponoči so zvezde svetlo sijale nad hladnimi gorami in šteli smo jih dokler nismo zaspali",
+           "zdravnik mu je rekel naj en teden počiva in pije veliko vode"],
+    "lt": ["naktį žvaigždės ryškiai švietė virš šaltų kalnų ir mes jas skaičiavome kol užmigome",
+           "gydytojas jam liepė savaitę ilsėtis ir gerti daug vandens"],
+    "lv": ["naktī zvaigznes spoži mirdzēja virs aukstajiem kalniem un mēs tās skaitījām līdz aizmigām",
+           "ārsts viņam teica nedēļu atpūsties un dzert daudz ūdens"],
+    "et": ["öösel särasid tähed eredalt külmade mägede kohal ja me lugesime neid kuni uinusime",
+           "arst ütles talle et ta puhkaks nädala ja jooks palju vett"],
+    "is": ["á nóttunni skinu stjörnurnar bjart yfir köldu fjöllunum og við töldum þær þar til við sofnuðum",
+           "læknirinn sagði honum að hvíla sig í viku og drekka mikið vatn"],
+    "sq": ["natën yjet shkëlqenin ndritshëm mbi malet e ftohta dhe ne i numëronim derisa na zuri gjumi",
+           "mjeku i tha të pushonte një javë dhe të pinte shumë ujë"],
 }
 
 
@@ -145,8 +178,8 @@ def test_heldout_accuracy_at_least_95pct():
     assert correct / total >= 0.95, f"{correct}/{total}"
 
 
-def test_breadth_at_least_30_languages():
-    assert len(langid.LANG_SAMPLES) >= 30
+def test_breadth_at_least_45_languages():
+    assert len(langid.LANG_SAMPLES) >= 45
     # every seed is multi-paragraph (topic diversity, judge round-2 item)
     assert all(s.count("\n") >= 2 for s in langid.LANG_SAMPLES.values())
     # every seeded language has an out-of-distribution held-out entry

@@ -42,7 +42,7 @@ MIN_DIFF = 0.20
 PROBE_EVERY = 110
 
 # ---------------------------------------------------------------------------
-# seed corpora — authored multi-paragraph text per language, 32 languages
+# seed corpora — authored multi-paragraph text per language, 48 languages
 # (self-contained, written for this repo; no external data). Each language
 # gets three paragraphs on DIFFERENT topics (village morning / market and
 # cooking / city work and travel) so the trigram tables are not fit to one
@@ -613,6 +613,301 @@ LANG_SAMPLES: dict[str, str] = {
         "továrne mosty a dlhé rady domov pod sivou oblohou práca sa "
         "skončila neskoro ale ulice ešte svietili lampami a hudbou z "
         "otvorených dverí"
+    ),
+    # --- round-5 tranche: 16 further languages toward the reference's 70+
+    # (fa/ur extend the Arabic-script family; sr/mk extend Cyrillic next to
+    # ru/uk/bg; hr/sl/lt/lv/et/is/sq extend Latin-script Europe incl. the
+    # et-vs-fi and hr-vs-sl-vs-cs confusable pairs; bn/ta/te/ka/hy add four
+    # scripts the table did not cover) ---
+    "fa": (
+        "نور صبح بر روستا می تابد و کودکان در باغ بازی می کنند در حالی که "
+        "مادرشان نان تازه با کره و عسل می آورد ساعت قدیمی روی دیوار "
+        "همچنان ساعت هایی را می شمارد که با هم می گذرانیم و داستان هایی "
+        "درباره کوه های دور می خوانیم و درباره مردمی که در آنها راه می "
+        "روند و به دنبال جایی آرام می گردند\n"
+        "در بازار کشاورزان سیب پیاز و پنیر می فروشند و نانوا توضیح می دهد "
+        "که خمیر چقدر باید استراحت کند پیش از آنکه به تنور داغ برود او می "
+        "گوید که آش خوب به زمان نمک و کمی صبر نیاز دارد و ماهی را نباید "
+        "بیشتر از لازم پخت ما تخم مرغ گوجه فرنگی و یک کیسه برنج برای "
+        "هفته خریدیم\n"
+        "دوشنبه اداره شلوغ بود چون پروژه تازه آغاز شده بود و همه می "
+        "خواستند گزارش را پیش از جلسه بخوانند قطار شهر پر از مردم با کیف "
+        "و تلفن بود و از پنجره کارخانه ها پل ها و ردیف های بلند خانه ها "
+        "زیر آسمان خاکستری دیده می شد کار دیر تمام شد اما خیابان ها هنوز "
+        "از چراغ ها و موسیقی درهای باز روشن بودند"
+    ),
+    "ur": (
+        "صبح کی روشنی گاؤں پر پھیلتی ہے اور بچے باغ میں کھیلتے ہیں جبکہ "
+        "ان کی ماں مکھن اور شہد کے ساتھ تازہ روٹی لاتی ہے دیوار پر پرانی "
+        "گھڑی وہ گھنٹے گنتی رہتی ہے جو ہم ساتھ گزارتے ہیں اور دور پہاڑوں "
+        "کی کہانیاں پڑھتے ہیں اور ان لوگوں کے بارے میں جو ان میں چلتے "
+        "ہیں اور ایک پرسکون جگہ ڈھونڈتے ہیں\n"
+        "بازار میں کسان سیب پیاز اور پنیر بیچتے ہیں اور نانبائی بتاتا ہے "
+        "کہ آٹے کو گرم تنور میں جانے سے پہلے کتنی دیر آرام کرنا چاہیے وہ "
+        "کہتی ہے کہ اچھے شوربے کو وقت نمک اور تھوڑا صبر چاہیے اور مچھلی "
+        "کو ضرورت سے زیادہ نہیں پکانا چاہیے ہم نے انڈے ٹماٹر اور ہفتے کے "
+        "لیے چاول کی ایک بوری خریدی\n"
+        "پیر کو دفتر میں بہت کام تھا کیونکہ نیا منصوبہ شروع ہوا تھا اور "
+        "سب اجلاس سے پہلے رپورٹ پڑھنا چاہتے تھے شہر کی ریل گاڑی تھیلوں "
+        "اور فونوں والے لوگوں سے بھری تھی اور کھڑکی سے کارخانے پل اور "
+        "سرمئی آسمان کے نیچے گھروں کی لمبی قطاریں نظر آتی تھیں کام دیر "
+        "سے ختم ہوا مگر گلیاں اب بھی چراغوں اور کھلے دروازوں کی موسیقی "
+        "سے روشن تھیں"
+    ),
+    "bn": (
+        "সকালের আলো গ্রামের উপর ছড়িয়ে পড়ে আর শিশুরা বাগানে খেলা করে "
+        "যখন তাদের মা মাখন আর মধু দিয়ে টাটকা রুটি নিয়ে আসে দেয়ালের "
+        "পুরনো ঘড়ি সেই ঘণ্টাগুলো গুনতে থাকে যা আমরা একসাথে কাটাই আর "
+        "দূরের পাহাড়ের গল্প পড়ি আর সেই মানুষদের কথা যারা সেখানে হেঁটে "
+        "একটি শান্ত জায়গা খোঁজে\n"
+        "বাজারে চাষিরা আপেল পেঁয়াজ আর পনির বিক্রি করে আর রুটিওয়ালা "
+        "বুঝিয়ে বলে গরম চুলায় যাওয়ার আগে ময়দাকে কতক্ষণ বিশ্রাম দিতে "
+        "হয় সে বলে ভালো ঝোলের জন্য সময় লবণ আর একটু ধৈর্য লাগে আর "
+        "মাছ দরকারের বেশি রান্না করা উচিত নয় আমরা ডিম টমেটো আর সপ্তাহের "
+        "জন্য এক বস্তা চাল কিনলাম\n"
+        "সোমবার অফিসে খুব ব্যস্ততা ছিল কারণ নতুন প্রকল্প শুরু হয়েছিল আর "
+        "সবাই সভার আগে প্রতিবেদনটি পড়তে চাইছিল শহরের ট্রেন ব্যাগ আর ফোন "
+        "হাতে মানুষে ভরা ছিল আর জানালা দিয়ে কারখানা সেতু আর ধূসর আকাশের "
+        "নিচে বাড়ির লম্বা সারি দেখা যাচ্ছিল কাজ দেরিতে শেষ হলো কিন্তু "
+        "রাস্তাগুলো তখনও বাতি আর খোলা দরজার গান দিয়ে উজ্জ্বল ছিল"
+    ),
+    "ta": (
+        "காலை வெளிச்சம் கிராமத்தின் மேல் பரவுகிறது குழந்தைகள் தோட்டத்தில் "
+        "விளையாடுகிறார்கள் அவர்களின் அம்மா வெண்ணெயும் தேனும் சேர்த்து "
+        "புதிய ரொட்டி கொண்டு வருகிறாள் சுவரில் உள்ள பழைய கடிகாரம் நாம் "
+        "ஒன்றாக கழிக்கும் மணி நேரங்களை எண்ணிக்கொண்டே இருக்கிறது தொலைவில் "
+        "உள்ள மலைகளைப் பற்றிய கதைகளை படிக்கிறோம் அங்கே நடந்து அமைதியான "
+        "இடம் தேடும் மக்களைப் பற்றியும்\n"
+        "சந்தையில் விவசாயிகள் ஆப்பிள் வெங்காயம் பாலாடைக்கட்டி "
+        "விற்கிறார்கள் ரொட்டிக்காரர் சூடான அடுப்பில் போகும் முன் மாவு "
+        "எவ்வளவு நேரம் ஓய்வு எடுக்க வேண்டும் என விளக்குகிறார் நல்ல "
+        "குழம்புக்கு நேரம் உப்பு கொஞ்சம் பொறுமை தேவை என்றும் மீனை "
+        "தேவைக்கு மேல் சமைக்கக்கூடாது என்றும் சொல்கிறாள் நாங்கள் முட்டை "
+        "தக்காளி வாரத்திற்கு ஒரு மூட்டை அரிசி வாங்கினோம்\n"
+        "திங்கள் அன்று அலுவலகம் பரபரப்பாக இருந்தது புதிய திட்டம் "
+        "தொடங்கியதால் கூட்டத்திற்கு முன் அனைவரும் அறிக்கையை படிக்க "
+        "விரும்பினர் நகரத்திற்கு செல்லும் ரயில் பைகளும் தொலைபேசிகளும் "
+        "கொண்ட மக்களால் நிறைந்திருந்தது ஜன்னல் வழியாக தொழிற்சாலைகள் "
+        "பாலங்கள் சாம்பல் வானத்தின் கீழ் வீடுகளின் நீண்ட வரிசைகள் "
+        "தெரிந்தன வேலை தாமதமாக முடிந்தது ஆனால் தெருக்கள் விளக்குகளாலும் "
+        "திறந்த கதவுகளின் இசையாலும் இன்னும் பிரகாசமாக இருந்தன"
+    ),
+    "te": (
+        "ఉదయపు వెలుగు పల్లె మీద పరుచుకుంటుంది పిల్లలు తోటలో ఆడుకుంటారు "
+        "వారి అమ్మ వెన్న తేనెతో తాజా రొట్టె తీసుకువస్తుంది గోడ మీద పాత "
+        "గడియారం మనం కలిసి గడిపే గంటలను లెక్కిస్తూనే ఉంటుంది దూరపు కొండల "
+        "గురించి కథలు చదువుతాము అక్కడ నడుస్తూ ప్రశాంతమైన చోటు వెతికే "
+        "మనుషుల గురించి కూడా\n"
+        "సంతలో రైతులు ఆపిల్ ఉల్లిపాయలు జున్ను అమ్ముతారు రొట్టెల "
+        "వ్యాపారి వేడి పొయ్యిలోకి వెళ్ళే ముందు పిండి ఎంతసేపు విశ్రాంతి "
+        "తీసుకోవాలో వివరిస్తాడు మంచి పులుసుకు సమయం ఉప్పు కొంచెం ఓపిక "
+        "కావాలని చేపను అవసరానికి మించి వండకూడదని ఆమె చెబుతుంది మేము "
+        "గుడ్లు టమాటాలు వారానికి ఒక సంచి బియ్యం కొన్నాము\n"
+        "సోమవారం కార్యాలయం బిజీగా ఉంది కొత్త ప్రాజెక్టు మొదలైనందున "
+        "సమావేశానికి ముందు అందరూ నివేదికను చదవాలనుకున్నారు నగరానికి "
+        "వెళ్ళే రైలు సంచులు ఫోన్లు పట్టుకున్న జనంతో నిండి ఉంది కిటికీ "
+        "నుంచి కర్మాగారాలు వంతెనలు బూడిద ఆకాశం కింద ఇళ్ల పొడవైన వరుసలు "
+        "కనిపించాయి పని ఆలస్యంగా ముగిసింది కానీ వీధులు దీపాలతో తెరిచిన "
+        "తలుపుల సంగీతంతో ఇంకా వెలుగుతూనే ఉన్నాయి"
+    ),
+    "ka": (
+        "დილის სინათლე სოფელს ეფინება და ბავშვები ბაღში თამაშობენ სანამ "
+        "დედა კარაქითა და თაფლით ახალ პურს მოაქვს კედელზე ძველი საათი "
+        "აგრძელებს იმ საათების თვლას რომლებსაც ერთად ვატარებთ და "
+        "ვკითხულობთ ამბებს შორეულ მთებზე და იმ ადამიანებზე რომლებიც იქ "
+        "დადიან და მშვიდ ადგილს ეძებენ\n"
+        "ბაზარში გლეხები ყიდიან ვაშლს ხახვს და ყველს მეპურე განმარტავს "
+        "რამდენ ხანს უნდა დაისვენოს ცომმა სანამ ცხელ ღუმელში შევა ის "
+        "ამბობს რომ კარგ წვნიანს სჭირდება დრო მარილი და ცოტა მოთმინება "
+        "და თევზი საჭიროზე მეტხანს არ უნდა მოიხარშოს ვიყიდეთ კვერცხი "
+        "პომიდორი და ერთი ტომარა ბრინჯი კვირისთვის\n"
+        "ორშაბათს ოფისში ბევრი საქმე იყო რადგან ახალი პროექტი დაიწყო და "
+        "ყველას სურდა ანგარიშის წაკითხვა შეხვედრამდე ქალაქის მატარებელი "
+        "სავსე იყო ხალხით ჩანთებითა და ტელეფონებით ფანჯრიდან ჩანდა "
+        "ქარხნები ხიდები და სახლების გრძელი რიგები ნაცრისფერი ცის ქვეშ "
+        "სამუშაო გვიან დასრულდა მაგრამ ქუჩები ჯერ კიდევ ანათებდა "
+        "ფარნებითა და ღია კარების მუსიკით"
+    ),
+    "hy": (
+        "առավոտյան լույսը տարածվում է գյուղի վրա և երեխաները խաղում են "
+        "այգում մինչ նրանց մայրը բերում է թարմ հաց կարագով և մեղրով "
+        "պատի հին ժամացույցը շարունակում է հաշվել այն ժամերը որ միասին "
+        "ենք անցկացնում և կարդում ենք պատմություններ հեռավոր լեռների "
+        "մասին և այն մարդկանց մասին ովքեր քայլում են այնտեղ և փնտրում "
+        "են մի հանգիստ տեղ\n"
+        "շուկայում գյուղացիները վաճառում են խնձոր սոխ և պանիր հացթուխը "
+        "բացատրում է թե որքան պետք է հանգստանա խմորը մինչ տաք վառարան "
+        "մտնելը նա ասում է որ լավ ապուրին պետք է ժամանակ աղ և մի քիչ "
+        "համբերություն և որ ձուկը պետք չէ եփել ավելի երկար քան հարկավոր "
+        "է մենք գնեցինք ձու լոլիկ և մի պարկ բրինձ շաբաթվա համար\n"
+        "երկուշաբթի գրասենյակում շատ աշխատանք կար որովհետև նոր ծրագիրը "
+        "սկսվել էր և բոլորը ուզում էին կարդալ զեկույցը ժողովից առաջ "
+        "քաղաք գնացող գնացքը լի էր մարդկանցով պայուսակներով և "
+        "հեռախոսներով պատուհանից երևում էին գործարաններ կամուրջներ և "
+        "տների երկար շարքեր մոխրագույն երկնքի տակ աշխատանքը ուշ "
+        "ավարտվեց բայց փողոցները դեռ լուսավոր էին լապտերներով և բաց "
+        "դռների երաժշտությամբ"
+    ),
+    "sr": (
+        "јутарња светлост се шири над селом и деца се играју у башти док "
+        "њихова мајка доноси свеж хлеб са маслацем и медом стари сат на "
+        "зиду и даље броји сате које проводимо заједно читајући приче о "
+        "далеким планинама и о људима који њима ходају тражећи тихо "
+        "место\n"
+        "на пијаци сељаци продају јабуке лук и сир а пекар објашњава "
+        "колико тесто мора да одмара пре него што уђе у врућу пећ она "
+        "каже да доброј супи треба време со и мало стрпљења и да рибу не "
+        "треба кувати дуже него што је потребно купили смо јаја парадајз "
+        "и врећу пиринча за недељу дана\n"
+        "у понедељак је у канцеларији било много посла јер је нови "
+        "пројекат почео и сви су хтели да прочитају извештај пре "
+        "састанка воз за град био је пун људи са торбама и телефонима "
+        "кроз прозор су се видели фабрике мостови и дуги редови кућа под "
+        "сивим небом посао се завршио касно али су улице још увек биле "
+        "светле од лампи и музике из отворених врата"
+    ),
+    "mk": (
+        "утринската светлина се шири над селото и децата си играат во "
+        "градината додека нивната мајка носи свеж леб со путер и мед "
+        "стариот часовник на ѕидот продолжува да ги брои часовите што ги "
+        "поминуваме заедно читајќи приказни за далечните планини и за "
+        "луѓето што одат низ нив барајќи тивко место\n"
+        "на пазарот селаните продаваат јаболка кромид и сирење а пекарот "
+        "објаснува колку тестото мора да одмора пред да влезе во жешката "
+        "печка таа вели дека на добрата супа ѝ требаат време сол и малку "
+        "трпение и дека рибата не треба да се вари подолго отколку што е "
+        "потребно купивме јајца домати и вреќа ориз за седмицата\n"
+        "во понеделник во канцеларијата имаше многу работа бидејќи "
+        "новиот проект беше почнат и сите сакаа да го прочитаат "
+        "извештајот пред состанокот возот за градот беше полн со луѓе со "
+        "торби и телефони низ прозорецот се гледаа фабрики мостови и "
+        "долги редови куќи под сивото небо работата заврши доцна но "
+        "улиците сè уште светеа од светилки и музика од отворените врати"
+    ),
+    "hr": (
+        "jutarnje svjetlo širi se nad selom i djeca se igraju u vrtu dok "
+        "njihova majka donosi svjež kruh s maslacem i medom stari sat na "
+        "zidu i dalje broji sate koje provodimo zajedno čitajući priče o "
+        "dalekim planinama i o ljudima koji njima hodaju tražeći tiho "
+        "mjesto\n"
+        "na tržnici seljaci prodaju jabuke luk i sir a pekar objašnjava "
+        "koliko tijesto mora odmarati prije nego što uđe u vruću peć ona "
+        "kaže da dobroj juhi treba vrijeme sol i malo strpljenja i da "
+        "ribu ne treba kuhati dulje nego što je potrebno kupili smo jaja "
+        "rajčice i vreću riže za tjedan dana\n"
+        "u ponedjeljak je u uredu bilo mnogo posla jer je novi projekt "
+        "počeo i svi su htjeli pročitati izvještaj prije sastanka vlak "
+        "za grad bio je pun ljudi s torbama i telefonima kroz prozor su "
+        "se vidjele tvornice mostovi i dugi redovi kuća pod sivim nebom "
+        "posao je završio kasno ali ulice su još uvijek bile svijetle od "
+        "svjetiljki i glazbe iz otvorenih vrata"
+    ),
+    "sl": (
+        "jutranja svetloba se širi nad vasjo in otroci se igrajo na vrtu "
+        "medtem ko njihova mama prinaša svež kruh z maslom in medom "
+        "stara ura na steni še naprej šteje ure ki jih preživimo skupaj "
+        "ko beremo zgodbe o daljnih gorah in o ljudeh ki hodijo po njih "
+        "in iščejo miren kraj\n"
+        "na tržnici kmetje prodajajo jabolka čebulo in sir pek pa "
+        "razlaga kako dolgo mora testo počivati preden gre v vročo peč "
+        "pravi da dobra juha potrebuje čas sol in malo potrpljenja in da "
+        "ribe ni treba kuhati dlje kot je potrebno kupili smo jajca "
+        "paradižnike in vrečo riža za teden dni\n"
+        "v ponedeljek je bilo v pisarni veliko dela ker se je novi "
+        "projekt začel in so vsi želeli prebrati poročilo pred sestankom "
+        "vlak v mesto je bil poln ljudi s torbami in telefoni skozi okno "
+        "so se videle tovarne mostovi in dolge vrste hiš pod sivim nebom "
+        "delo se je končalo pozno a ulice so bile še vedno svetle od "
+        "svetilk in glasbe iz odprtih vrat"
+    ),
+    "lt": (
+        "ryto šviesa sklinda virš kaimo ir vaikai žaidžia sode kol jų "
+        "mama atneša šviežios duonos su sviestu ir medumi senas "
+        "laikrodis ant sienos toliau skaičiuoja valandas kurias "
+        "praleidžiame kartu skaitydami istorijas apie tolimus kalnus ir "
+        "apie žmones kurie jais vaikšto ieškodami ramios vietos\n"
+        "turguje ūkininkai parduoda obuolius svogūnus ir sūrį o kepėjas "
+        "aiškina kiek tešla turi pailsėti prieš patenkant į karštą "
+        "krosnį ji sako kad gerai sriubai reikia laiko druskos ir šiek "
+        "tiek kantrybės ir kad žuvies nereikia virti ilgiau nei būtina "
+        "nusipirkome kiaušinių pomidorų ir maišą ryžių savaitei\n"
+        "pirmadienį biure buvo daug darbo nes prasidėjo naujas projektas "
+        "ir visi norėjo perskaityti ataskaitą prieš susirinkimą "
+        "traukinys į miestą buvo pilnas žmonių su krepšiais ir "
+        "telefonais pro langą matėsi gamyklos tiltai ir ilgos namų eilės "
+        "po pilku dangumi darbas baigėsi vėlai bet gatvės vis dar buvo "
+        "šviesios nuo žibintų ir muzikos iš atvirų durų"
+    ),
+    "lv": (
+        "rīta gaisma izplatās pār ciemu un bērni spēlējas dārzā kamēr "
+        "viņu māte atnes svaigu maizi ar sviestu un medu vecais "
+        "pulkstenis pie sienas turpina skaitīt stundas ko pavadām kopā "
+        "lasot stāstus par tālajiem kalniem un par cilvēkiem kuri pa "
+        "tiem staigā meklējot klusu vietu\n"
+        "tirgū zemnieki pārdod ābolus sīpolus un sieru un maiznieks "
+        "skaidro cik ilgi mīklai jāatpūšas pirms tā nonāk karstā krāsnī "
+        "viņa saka ka labai zupai vajag laiku sāli un mazliet pacietības "
+        "un ka zivi nevajag vārīt ilgāk nekā nepieciešams mēs nopirkām "
+        "olas tomātus un maisu rīsu nedēļai\n"
+        "pirmdien birojā bija daudz darba jo bija sācies jauns projekts "
+        "un visi gribēja izlasīt ziņojumu pirms sapulces vilciens uz "
+        "pilsētu bija pilns ar cilvēkiem ar somām un telefoniem pa logu "
+        "varēja redzēt rūpnīcas tiltus un garas māju rindas zem pelēkām "
+        "debesīm darbs beidzās vēlu bet ielas joprojām bija gaišas no "
+        "laternām un mūzikas no atvērtām durvīm"
+    ),
+    "et": (
+        "hommikuvalgus levib küla kohal ja lapsed mängivad aias sel ajal "
+        "kui nende ema toob värsket leiba või ja meega vana kell seinal "
+        "loeb edasi tunde mida me koos veedame lugedes lugusid kaugetest "
+        "mägedest ja inimestest kes seal kõnnivad otsides vaikset kohta\n"
+        "turul müüvad talupojad õunu sibulaid ja juustu ning pagar "
+        "selgitab kui kaua peab tainas puhkama enne kui see kuuma ahju "
+        "läheb ta ütleb et hea supp vajab aega soola ja veidi "
+        "kannatlikkust ja et kala ei tohi keeta kauem kui vaja ostsime "
+        "mune tomateid ja koti riisi nädalaks\n"
+        "esmaspäeval oli kontoris palju tööd sest uus projekt oli alanud "
+        "ja kõik tahtsid aruannet enne koosolekut lugeda rong linna oli "
+        "täis inimesi kottide ja telefonidega aknast paistsid tehased "
+        "sillad ja pikad majaread halli taeva all töö lõppes hilja aga "
+        "tänavad olid ikka veel valged laternatest ja muusikast mis "
+        "kostis avatud ustest"
+    ),
+    "is": (
+        "morgunljósið breiðist yfir þorpið og börnin leika sér í "
+        "garðinum á meðan móðir þeirra kemur með ferskt brauð með smjöri "
+        "og hunangi gamla klukkan á veggnum heldur áfram að telja "
+        "stundirnar sem við eyðum saman við að lesa sögur um fjarlæg "
+        "fjöll og um fólkið sem gengur um þau í leit að rólegum stað\n"
+        "á markaðnum selja bændur epli lauk og ost og bakarinn útskýrir "
+        "hve lengi deigið þarf að hvíla áður en það fer í heitan ofninn "
+        "hún segir að góð súpa þurfi tíma salt og svolitla þolinmæði og "
+        "að fisk eigi ekki að sjóða lengur en nauðsynlegt er við keyptum "
+        "egg tómata og poka af hrísgrjónum fyrir vikuna\n"
+        "á mánudaginn var mikið að gera á skrifstofunni því nýja "
+        "verkefnið var hafið og allir vildu lesa skýrsluna fyrir fundinn "
+        "lestin í bæinn var full af fólki með töskur og síma út um "
+        "gluggann sáust verksmiðjur brýr og langar raðir húsa undir "
+        "gráum himni vinnan endaði seint en göturnar voru enn bjartar af "
+        "ljósum og tónlist úr opnum dyrum"
+    ),
+    "sq": (
+        "drita e mëngjesit përhapet mbi fshat dhe fëmijët luajnë në "
+        "kopsht ndërsa nëna e tyre sjell bukë të freskët me gjalpë dhe "
+        "mjaltë ora e vjetër në mur vazhdon të numërojë orët që kalojmë "
+        "së bashku duke lexuar tregime për malet e largëta dhe për "
+        "njerëzit që ecin nëpër to duke kërkuar një vend të qetë\n"
+        "në treg fshatarët shesin mollë qepë dhe djathë dhe bukëpjekësi "
+        "shpjegon sa gjatë duhet të pushojë brumi para se të hyjë në "
+        "furrën e nxehtë ajo thotë se supës së mirë i duhet kohë kripë "
+        "dhe pak durim dhe se peshku nuk duhet zier më gjatë se ç duhet "
+        "blemë vezë domate dhe një thes oriz për javën\n"
+        "të hënën në zyrë kishte shumë punë sepse projekti i ri kishte "
+        "filluar dhe të gjithë donin të lexonin raportin para mbledhjes "
+        "treni për në qytet ishte plot me njerëz me çanta dhe telefona "
+        "nga dritarja dukeshin fabrikat urat dhe rreshtat e gjatë të "
+        "shtëpive nën qiellin gri puna mbaroi vonë por rrugët ishin "
+        "ende të ndritshme nga llambat dhe muzika nga dyert e hapura"
     ),
 }
 
