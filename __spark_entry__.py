@@ -778,7 +778,11 @@ def q56_decoded_pixel_sum(spark, sf_dir):
                 i = int(i)
                 w, h = 16 + i % 32, 8 + i % 16
                 if i % 3 == 0:
-                    payload = multimodal.make_png(w, h)
+                    # alternate Adam7-interlaced layout; lossless, so the
+                    # gradient oracle is identical for both
+                    payload = multimodal.make_png(
+                        w, h, interlace=(i // 3) % 2 == 0
+                    )
                     px = multimodal.decode_png(payload)
                     fmts.append("png")
                 elif i % 3 == 1:

@@ -244,6 +244,22 @@ def test_jpeg_decode_roundtrip():
     assert multimodal.decode_jpeg(good[: len(good) // 2]) is None
 
 
+def test_png_adam7_decode_exact():
+    """Adam7-interlaced PNG (the progressive-rendering layout of real web
+    PNGs): seven independently-filtered reduced images must scatter back
+    to exactly the source pixels, including degenerate sizes where some
+    passes are empty."""
+    import numpy as np
+
+    for w, h in ((1, 1), (3, 2), (8, 8), (31, 17), (5, 1), (1, 9)):
+        px = multimodal.decode_png(multimodal.make_png(w, h, interlace=True))
+        assert px is not None and px.shape == (h, w, 3), (w, h)
+        assert (px == multimodal.synth_pixels(w, h)).all(), (w, h)
+    # truncated interlaced stream → None, never raises
+    good = multimodal.make_png(16, 16, interlace=True)
+    assert multimodal.decode_png(good[: len(good) // 2]) is None
+
+
 def test_jpeg_420_decode_exact():
     """4:2:0 chroma-subsampled color JPEG — the dominant real-world shape:
     interleaved 16x16 MCUs (4 luma + Cb + Cr blocks in raster order),

@@ -15,7 +15,7 @@ IDCT), and WAV PCM (RIFF chunk walk, 8/16-bit) — pure stdlib/numpy,
 round-trip-tested against synthesizers that emit genuine compressed
 content. ``decode_stub=False`` uses them and emits content-derived
 features with a ``decoded`` flag; malformed payloads and formats outside
-the decoders' envelopes (progressive JPEG, interlaced PNG)
+the decoders' envelopes (progressive JPEG)
 fall back per row with ``decoded=false`` — the job never fails (X5). The
 Spark-side plumbing — schema, batching, partitioning, UDF signature — is
 identical for both paths.
@@ -193,29 +193,57 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def make_png(width: int, height: int, with_pixels: bool = True) -> bytes:
-    """Genuine PNG: 8-bit RGB, non-interlaced. With ``with_pixels`` the file
-    carries a real zlib-compressed IDAT of deterministic pixels, scanlines
-    cycling through filter types 0..4 (None/Sub/Up/Average/Paeth) so a
-    decoder must implement real unfiltering to read it back."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_image(px: "np.ndarray", bpp: int) -> bytearray:
+    """Filter a (h, w*bpp-flattened) pixel array into PNG scanline bytes,
+    cycling filter types 0..4 so decoders must implement real unfiltering."""
+    raw = bytearray()
+    prev = np.zeros(px.shape[1], dtype=np.uint8)
+    for y in range(px.shape[0]):
+        line = px[y].astype(np.uint8)
+        ftype = y % 5
+        raw.append(ftype)
+        raw.extend(_png_filter(line, prev, ftype, bpp).tobytes())
+        prev = line
+    return raw
+
+
+def make_png(
+    width: int, height: int, with_pixels: bool = True, interlace: bool = False
+) -> bytes:
+    """Genuine PNG: 8-bit RGB. With ``with_pixels`` the file carries a real
+    zlib-compressed IDAT of deterministic pixels, scanlines cycling through
+    filter types 0..4 (None/Sub/Up/Average/Paeth). With ``interlace`` the
+    image is Adam7-interlaced: seven independently-filtered reduced images
+    in pass order (RFC 2083 §8.2) — the progressive-rendering layout real
+    web PNGs use."""
     import struct
     import zlib
 
     import numpy as np
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, int(interlace))
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if with_pixels:
         px = synth_pixels(width, height)
         bpp = 3
-        raw = bytearray()
-        prev = np.zeros(width * bpp, dtype=np.uint8)
-        for y in range(height):
-            line = px[y].reshape(-1).astype(np.uint8)
-            ftype = y % 5
-            raw.append(ftype)
-            raw.extend(_png_filter(line, prev, ftype, bpp).tobytes())
-            prev = line
+        if interlace:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                raw += _filter_image(
+                    sub.reshape(sub.shape[0], -1), bpp
+                )
+        else:
+            raw = _filter_image(px.reshape(height, -1), bpp)
         out += _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
     out += _png_chunk(b"IEND", b"")
     return out
@@ -741,7 +769,7 @@ def synth_samples(n: int) -> "np.ndarray":
 # ---------------------------------------------------------------------------
 # REAL decoders — pure Python/stdlib/numpy, no decoder libs.
 # PNG: full pixel decode (zlib inflate + the five RFC-2083 scanline filters)
-# for 8-bit RGB/RGBA/grayscale, non-interlaced. GIF: from-scratch GIF-variant
+# for 8-bit RGB/RGBA/grayscale, non-interlaced or Adam7-interlaced. GIF: from-scratch GIF-variant
 # LZW (LSB-first, CLEAR/END, 12-bit cap) + palette lookup (decode_gif below,
 # next to the codec). WAV: PCM sample decode (8/16 bit). JPEG: baseline
 # sequential Huffman+IDCT decode (decode_jpeg below, next to the encoder);
@@ -994,24 +1022,44 @@ def decode_png(payload: bytes) -> "np.ndarray | None":
         if ihdr is None or not idat:
             return None
         width, height, depth, color, _comp, _filt, interlace = ihdr
-        if depth != 8 or interlace != 0:
+        if depth != 8 or interlace not in (0, 1):
             return None
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
         if channels is None:
             return None
         raw = zlib.decompress(b"".join(idat))
-        stride = width * channels
-        if len(raw) != (stride + 1) * height:
+
+        def unfilter_image(data: bytes, w: int, h: int) -> "np.ndarray":
+            stride = w * channels
+            if len(data) != (stride + 1) * h:
+                raise ValueError("bad filtered-image length")
+            img = np.zeros((h, stride), dtype=np.uint8)
+            prev = np.zeros(stride, dtype=np.int16)
+            for y in range(h):
+                row = data[y * (stride + 1) : (y + 1) * (stride + 1)]
+                ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+                cur = _png_unfilter(line, prev, ftype, channels)
+                img[y] = cur
+                prev = cur.astype(np.int16)
+            return img.reshape(h, w, channels)
+
+        if interlace == 0:
+            return unfilter_image(raw, width, height)
+        # Adam7: seven independently-filtered reduced images, scattered
+        # back onto the full-resolution grid (RFC 2083 §8.2)
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p == 0 or h_p == 0:
+                continue
+            n = (w_p * channels + 1) * h_p
+            out[y0::dy, x0::dx] = unfilter_image(raw[pos : pos + n], w_p, h_p)
+            pos += n
+        if pos != len(raw):
             return None
-        out = np.zeros((height, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.int16)
-        for y in range(height):
-            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-            ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
-            cur = _png_unfilter(line, prev, ftype, channels)
-            out[y] = cur
-            prev = cur.astype(np.int16)
-        return out.reshape(height, width, channels)
+        return out
     except Exception:
         return None
 
