@@ -753,16 +753,19 @@ def q49_embedded_member_extract(spark, sf_dir):
 
 def q56_decoded_pixel_sum(spark, sf_dir):
     # The pixel DECODERS under a closed-form oracle: per doc, genuine PNG
-    # (zlib + cycling scanline filters), GIF (real LZW stream), or 4:2:0
-    # chroma-subsampled color JPEG (interleaved 16×16 MCUs, every third
-    # one with restart intervals) bytes are synthesized, decoded back by
-    # the from-scratch decoders, and reduced to the exact integer sum of
-    # the red channel — which DuckDB predicts without touching any bytes:
+    # (zlib + cycling scanline filters, alternately Adam7-interlaced),
+    # GIF (real LZW stream), 4:2:0 chroma-subsampled color JPEG
+    # (interleaved 16×16 MCUs, some with restart intervals), or SOF2
+    # color-PROGRESSIVE JPEG (interleaved DC scans + per-component AC
+    # first/refinement scans) bytes are synthesized, decoded back by the
+    # from-scratch decoders, and reduced to the exact integer sum of the
+    # red channel — which DuckDB predicts without touching any bytes:
     # PNG/GIF from the gradient formula ((x*7+y*3)%256), JPEG from the
     # 16×16-tile-constant luma (constant-per-MCU content survives the
     # flat-q DCT round trip EXACTLY, making a lossy format oracle-able).
     # A wrong unfilter, LZW table, palette lookup, MCU raster order,
-    # chroma upsample, or restart re-alignment breaks the hash match.
+    # chroma upsample, restart re-alignment, interlace scatter, or
+    # progressive successive-approximation step breaks the hash match.
     import pandas as pd
 
     from tika_addons_spark.operators import multimodal
@@ -791,12 +794,21 @@ def q56_decoded_pixel_sum(spark, sf_dir):
                     fmts.append("gif")
                 else:
                     ntx, nty = 1 + i % 4, 1 + i % 5
-                    payload = multimodal.make_jpeg_420(
-                        16 * ntx, 16 * nty, base=40 + i % 80,
-                        restart_interval=(i // 3) % 4,
-                    )
+                    if (i // 3) % 2 == 1:
+                        # SOF2 color progressive: interleaved DC scans +
+                        # per-component AC first/refinement scans
+                        payload = multimodal.make_jpeg_420(
+                            16 * ntx, 16 * nty, base=40 + i % 80,
+                            progressive=True,
+                        )
+                        fmts.append("jpgprog")
+                    else:
+                        payload = multimodal.make_jpeg_420(
+                            16 * ntx, 16 * nty, base=40 + i % 80,
+                            restart_interval=(i // 3) % 4,
+                        )
+                        fmts.append("jpg420")
                     px = multimodal.decode_jpeg(payload)
-                    fmts.append("jpg420")
                 sums.append(int(px[:, :, 0].astype("int64").sum()))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fmt": fmts, "red_sum": sums}
@@ -2044,7 +2056,9 @@ _ORACLES: dict[str, str] = {
         -- jpg420: 16x16-tile-constant luma, flat chroma -> red(x,y) =
         -- base + 7*(x//16) + 3*(y//16); 256 px per tile, closed form
         jpg_sums AS (
-          SELECT doc_id, 'jpg420' AS fmt,
+          SELECT doc_id,
+                 CASE WHEN (doc_id // 3) % 2 = 1 THEN 'jpgprog'
+                      ELSE 'jpg420' END AS fmt,
                  256 * ((1 + doc_id % 4) * (1 + doc_id % 5)
                           * (40 + doc_id % 80)
                         + 7 * (1 + doc_id % 5)

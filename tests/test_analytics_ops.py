@@ -297,6 +297,40 @@ def test_jpeg_420_decode_exact():
     assert multimodal.decode_jpeg(good[: len(good) // 2]) is None
 
 
+def test_jpeg_progressive_decode():
+    """SOF2 progressive (T.81 Annex G): spectral selection + successive
+    approximation with DC/AC refinement scans and EOB runs. The encoder
+    produces the same quantized coefficients as the baseline writer, so
+    the decoded pixels must be IDENTICAL to the baseline decode — for
+    grayscale six-scan streams and for the color 4:2:0 layout
+    (interleaved DC scans + per-component AC scans over each component's
+    own subsampled grid, incl. odd sizes with MCU padding)."""
+    import numpy as np
+
+    for w, h in ((8, 8), (17, 5), (96, 48), (1, 1), (33, 31)):
+        prog = multimodal.decode_jpeg(multimodal.make_jpeg_progressive(w, h))
+        base = multimodal.decode_jpeg(multimodal.make_jpeg(w, h))
+        assert prog is not None and (prog == base).all(), (w, h)
+    for w, h in ((16, 16), (40, 24), (17, 9), (33, 31)):
+        prog = multimodal.decode_jpeg(
+            multimodal.make_jpeg_420(w, h, gradient=True, progressive=True)
+        )
+        base = multimodal.decode_jpeg(multimodal.make_jpeg_420(w, h, gradient=True))
+        assert prog is not None and (prog == base).all(), (w, h)
+    # tile-constant content: progressive decode is closed-form EXACT
+    for w, h, b in ((32, 32, 40), (48, 32, 60)):
+        px = multimodal.decode_jpeg(
+            multimodal.make_jpeg_420(w, h, base=b, progressive=True)
+        )
+        exp = multimodal.tile_luma(w, h, b)
+        assert px is not None
+        for c in range(3):
+            assert (px[:, :, c].astype(np.int64) == exp).all(), (w, h, c)
+    # truncated progressive stream → None, never raises
+    good = multimodal.make_jpeg_progressive(32, 32)
+    assert multimodal.decode_jpeg(good[: len(good) // 2]) is None
+
+
 def test_wav_decode_roundtrip():
     import numpy as np
 

@@ -7,16 +7,18 @@ bugzilla attachments ``BugzillaWorker.java:441``, zip-entry feature dumps
 image/audio/video as ``binary`` columns with a typed metadata struct, and
 decode/feature steps as Arrow-batched ``mapInPandas``.
 
-Decode status (round 4): ALL four synthesized formats decode for REAL —
-PNG pixels (zlib inflate + all five RFC-2083 scanline filters), GIF pixels
-(from-scratch GIF-variant LZW + palette), JPEG pixels (from-scratch
-baseline sequential T.81: DQT/DHT parse, Huffman entropy decode, dequant,
-IDCT), and WAV PCM (RIFF chunk walk, 8/16-bit) — pure stdlib/numpy,
-round-trip-tested against synthesizers that emit genuine compressed
-content. ``decode_stub=False`` uses them and emits content-derived
-features with a ``decoded`` flag; malformed payloads and formats outside
-the decoders' envelopes (progressive JPEG)
-fall back per row with ``decoded=false`` — the job never fails (X5). The
+Decode status (round 5): ALL four synthesized formats decode for REAL —
+PNG pixels (zlib inflate + all five RFC-2083 scanline filters,
+non-interlaced or Adam7), GIF pixels (from-scratch GIF-variant LZW +
+palette), JPEG pixels (from-scratch T.81: baseline sequential incl.
+4:2:0/4:2:2 subsampling and restart intervals, AND SOF2 progressive with
+spectral selection + successive approximation), and WAV PCM (RIFF chunk
+walk, 8/16-bit) — pure stdlib/numpy, round-trip-tested against
+synthesizers that emit genuine compressed content. ``decode_stub=False``
+uses them and emits content-derived features with a ``decoded`` flag;
+malformed payloads and out-of-envelope formats (arithmetic-coded or
+12-bit JPEG) fall back per row with ``decoded=false`` — the job never
+fails (X5). The
 Spark-side plumbing — schema, batching, partitioning, UDF signature — is
 identical for both paths.
 """
@@ -657,30 +659,53 @@ def make_jpeg_420(
     base: int = 40,
     chroma: tuple[int, int] = (128, 128),
     restart_interval: int = 0,
+    gradient: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Genuine baseline JFIF with 4:2:0 chroma subsampling — the dominant
+    """Genuine JFIF with 4:2:0 chroma subsampling — the dominant
     real-world JPEG shape (Y sampling 2×2, Cb/Cr 1×1, interleaved
     16×16-pixel MCUs), optionally with restart intervals (DRI + RSTn
-    markers every ``restart_interval`` MCUs, DC predictors reset).
+    markers every ``restart_interval`` MCUs, DC predictors reset), and
+    optionally PROGRESSIVE (SOF2: interleaved DC first + refinement
+    scans, then per-component spectral-selection/successive-approximation
+    AC scans over each component's own subsampled block grid — the
+    libjpeg color-progressive layout).
 
     Content: ``tile_luma`` Y plane (constant per MCU) and constant chroma,
     so the decode round trip is exact; with ``chroma == (128, 128)`` the
-    decoded RGB equals the Y plane on all three channels."""
+    decoded RGB equals the Y plane on all three channels. With
+    ``gradient`` the planes carry the rich ``synth_pixels`` gradients
+    instead (AC-heavy; lossy, used for progressive≡baseline decode
+    equality tests)."""
     import struct
 
     ph, pw = (-height) % 16, (-width) % 16
-    y_plane = np.pad(
-        tile_luma(width, height, base).astype(np.float64),
-        ((0, ph), (0, pw)), mode="edge",
-    ) - 128.0
-    ch, cw = y_plane.shape[0] // 2, y_plane.shape[1] // 2
-    cb_plane = np.full((ch, cw), float(chroma[0]) - 128.0)
-    cr_plane = np.full((ch, cw), float(chroma[1]) - 128.0)
+    if gradient:
+        y_plane = np.pad(
+            synth_pixels(width, height)[:, :, 0].astype(np.float64),
+            ((0, ph), (0, pw)), mode="edge",
+        ) - 128.0
+        ch, cw = y_plane.shape[0] // 2, y_plane.shape[1] // 2
+        cpx = synth_pixels(cw, ch)
+        cb_plane = cpx[:, :, 1].astype(np.float64) - 128.0
+        cr_plane = cpx[:, :, 2].astype(np.float64) - 128.0
+    else:
+        y_plane = np.pad(
+            tile_luma(width, height, base).astype(np.float64),
+            ((0, ph), (0, pw)), mode="edge",
+        ) - 128.0
+        ch, cw = y_plane.shape[0] // 2, y_plane.shape[1] // 2
+        cb_plane = np.full((ch, cw), float(chroma[0]) - 128.0)
+        cr_plane = np.full((ch, cw), float(chroma[1]) - 128.0)
 
     zz_y = _plane_to_zz(y_plane)          # (2*mcuy, 2*mcux, 64)
     zz_cb = _plane_to_zz(cb_plane)        # (mcuy, mcux, 64)
     zz_cr = _plane_to_zz(cr_plane)
     mcuy, mcux = zz_cb.shape[0], zz_cb.shape[1]
+    if progressive:
+        return _color_progressive_scans(
+            width, height, zz_y, zz_cb, zz_cr, mcuy, mcux
+        )
 
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -746,6 +771,302 @@ def make_jpeg_420(
     )
 
 
+# progressive AC alphabet: EOBn (r<15, s=0), ZRL (15,0) and (r, s=1..10)
+# — 176 symbols, all 8 bits (fits canonical generation with the all-ones
+# code unused, as T.81 Annex C requires)
+_JPEG_ACP_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+_JPEG_ACP_BITS = [0] * 16
+_JPEG_ACP_BITS[7] = len(_JPEG_ACP_VALS)
+
+
+class _ProgState:
+    """Per-scan encoder state for progressive AC scans: the pending EOB
+    run and the correction bits buffered inside it (G.1.2.2/G.1.2.3)."""
+
+    __slots__ = ("eobrun", "bebits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bebits: list[int] = []
+
+
+def _flush_eobrun(w: "_JpegBitWriter", ac: dict, st: "_ProgState") -> None:
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        code, length = ac[r << 4]
+        w.write(code, length)
+        if r:
+            w.write(st.eobrun - (1 << r), r)
+        st.eobrun = 0
+    for bit in st.bebits:
+        w.write(bit, 1)
+    st.bebits = []
+
+
+def _emit_ac_first(w, ac, st, blk, ss, se, al) -> None:
+    """AC first scan for one block (G.1.2.2): sign-magnitude shift by Al,
+    zero runs + ZRL, end-of-band folded into the scan-level EOB run."""
+    t = [0] * (se + 1)
+    last = 0
+    for k in range(ss, se + 1):
+        v = abs(int(blk[k])) >> al
+        t[k] = v
+        if v:
+            last = k
+    if t[ss:se + 1].count(0) == se - ss + 1:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(w, ac, st)
+        return
+    _flush_eobrun(w, ac, st)
+    r = 0
+    for k in range(ss, last + 1):
+        if t[k] == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac[0xF0]
+            w.write(code, length)
+            r -= 16
+        size = t[k].bit_length()
+        code, length = ac[(r << 4) | size]
+        w.write(code, length)
+        v = t[k] if int(blk[k]) >= 0 else -t[k]
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        r = 0
+    if last < se:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(w, ac, st)
+
+
+def _emit_ac_refine(w, ac, st, blk, ss, se, al) -> None:
+    """AC refinement scan for one block (G.1.2.3): newly-significant
+    coefficients as (run, 1) symbols over zero-HISTORY positions, with
+    correction bits for already-significant coefficients appended after
+    each symbol (or after the EOB run they fall into)."""
+    t = [abs(int(blk[k])) >> al for k in range(se + 1)]
+    eob = 0
+    for k in range(ss, se + 1):
+        if t[k] == 1:  # newly significant (history would make it >= 2)
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        if t[k] == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(w, ac, st)
+            code, length = ac[0xF0]
+            w.write(code, length)
+            r -= 16
+            for bit in br:
+                w.write(bit, 1)
+            br = []
+        if t[k] > 1:  # already significant: buffer the correction bit
+            br.append(t[k] & 1)
+            continue
+        _flush_eobrun(w, ac, st)
+        code, length = ac[(r << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for bit in br:
+            w.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.bebits.extend(br)
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(w, ac, st)
+
+
+def _color_progressive_scans(
+    w_img, h_img, zz_y, zz_cb, zz_cr, mcuy, mcux
+) -> bytes:
+    """Assemble the SOF2 color-progressive stream for make_jpeg_420:
+    two interleaved DC scans (first at Al=1, then refinement), then
+    per-component AC scans — first scans at Al=2 followed by two
+    refinement rounds — each over the COMPONENT'S OWN block grid
+    (T.81 A.2.2: non-interleaved scans ignore MCU padding), the shape
+    where subsampled-grid bugs live in real decoders."""
+    import struct
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
+    comps = [(zz_y, 2, 2), (zz_cb, 1, 1), (zz_cr, 1, 1)]
+    cch, ccw = (h_img + 1) // 2, (w_img + 1) // 2
+    grids = [
+        ((h_img + 7) // 8, (w_img + 7) // 8),
+        ((cch + 7) // 8, (ccw + 7) // 8),
+        ((cch + 7) // 8, (ccw + 7) // 8),
+    ]
+
+    def emit_dc(ah: int, al: int) -> bytes:
+        w = _JpegBitWriter()
+        dc_prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (zz, hi, vi) in enumerate(comps):
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            blk = zz[my * vi + dy, mx * hi + dx]
+                            if ah == 0:
+                                v = int(blk[0]) >> al
+                                diff = v - dc_prev[ci]
+                                dc_prev[ci] = v
+                                size = abs(diff).bit_length()
+                                code, length = dc_codes[size]
+                                w.write(code, length)
+                                if size:
+                                    w.write(
+                                        diff if diff >= 0
+                                        else diff + (1 << size) - 1,
+                                        size,
+                                    )
+                            else:
+                                w.write((int(blk[0]) >> al) & 1, 1)
+        sos = (
+            b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03"
+            + b"\x01\x00\x02\x00\x03\x00"
+            + bytes([0, 0, (ah << 4) | al])
+        )
+        return sos + w.finish()
+
+    def emit_ac(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        zz, _, _ = comps[ci]
+        cby, cbx = grids[ci]
+        w = _JpegBitWriter()
+        st = _ProgState()
+        for by in range(cby):
+            for bx in range(cbx):
+                if ah == 0:
+                    _emit_ac_first(w, ac_codes, st, zz[by, bx], ss, se, al)
+                else:
+                    _emit_ac_refine(w, ac_codes, st, zz[by, bx], ss, se, al)
+        _flush_eobrun(w, ac_codes, st)
+        sos = (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            + bytes([ci + 1, 0x00, ss, se, (ah << 4) | al])
+        )
+        return sos + w.finish()
+
+    scans = [emit_dc(0, 1), emit_dc(1, 0)]
+    for ci in range(3):
+        scans.append(emit_ac(ci, 1, 63, 0, 2))
+    for ci in range(3):
+        scans.append(emit_ac(ci, 1, 63, 2, 1))
+        scans.append(emit_ac(ci, 1, 63, 1, 0))
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
+        int(x) for x in _JPEG_Q
+    )
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
+        + struct.pack(">HH", h_img, w_img) + b"\x03"
+        + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_ACP_VALS))
+        + b"\x10" + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS)
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof2 + dht
+        + b"".join(scans) + b"\xff\xd9"
+    )
+
+
+def make_jpeg_progressive(width: int, height: int, base: int | None = None) -> bytes:
+    """Genuine PROGRESSIVE JFIF (SOF2, T.81 Annex G) — the second dominant
+    real-world JPEG shape: grayscale, six scans exercising every
+    progressive coding mode (DC first at Al=1, DC refinement, spectral-
+    selection AC first scans for bands 1-5 and 6-63 at Al=2, then two AC
+    refinement scans at Al=1 and Al=0 with EOB runs and buffered
+    correction bits). Coefficients are identical to ``make_jpeg``'s for
+    the same content, so decode equality against the baseline file is the
+    round-trip test. With ``base`` the content is the 16×16-tile-constant
+    ``tile_luma`` plane (exact round trip, oracle-able); otherwise the
+    ``synth_pixels`` gradient."""
+    import struct
+
+    if base is not None:
+        gray = tile_luma(width, height, base).astype(np.float64)
+    else:
+        gray = synth_pixels(width, height)[:, :, 0].astype(np.float64)
+    ph, pw = (-height) % 8, (-width) % 8
+    g = np.pad(gray, ((0, ph), (0, pw)), mode="edge") - 128.0
+    zz = _plane_to_zz(g)
+    nby, nbx = zz.shape[0], zz.shape[1]
+    blocks = zz.reshape(nby * nbx, 64)
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
+
+    scans = []
+    for ss, se, ah, al in (
+        (0, 0, 0, 1), (0, 0, 1, 0),
+        (1, 5, 0, 2), (6, 63, 0, 2),
+        (1, 63, 2, 1), (1, 63, 1, 0),
+    ):
+        w = _JpegBitWriter()
+        st = _ProgState()
+        dc_prev = 0
+        for blk in blocks:
+            if ss == 0 and ah == 0:  # DC first: arithmetic shift by Al
+                v = int(blk[0]) >> al
+                diff = v - dc_prev
+                dc_prev = v
+                size = abs(diff).bit_length()
+                code, length = dc_codes[size]
+                w.write(code, length)
+                if size:
+                    w.write(
+                        diff if diff >= 0 else diff + (1 << size) - 1, size
+                    )
+            elif ss == 0:  # DC refinement: one raw bit per block
+                w.write((int(blk[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _emit_ac_first(w, ac_codes, st, blk, ss, se, al)
+            else:
+                _emit_ac_refine(w, ac_codes, st, blk, ss, se, al)
+        if ss != 0:
+            _flush_eobrun(w, ac_codes, st)
+        sos = (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00"
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        scans.append(sos + w.finish())
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
+        int(x) for x in _JPEG_Q
+    )
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_ACP_VALS))
+        + b"\x10" + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS)
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof2 + dht
+        + b"".join(scans) + b"\xff\xd9"
+    )
+
+
 def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
     """Genuine RIFF/WAVE, mono 8-bit PCM, deterministic sine-ish samples."""
     import struct
@@ -777,16 +1098,20 @@ def synth_samples(n: int) -> "np.ndarray":
 # decoded; progressive streams return None.
 # ---------------------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> "np.ndarray | None":
-    """(height, width, channels) uint8 from a baseline sequential JFIF, or
-    None if not decodable. Real T.81 machinery: DQT/DHT tables are read
-    from the file (any spec-valid tables, not just ours), entropy data is
-    un-stuffed and Huffman-decoded per interleaved MCU, dequantized through
-    the zigzag, reconstructed with the orthonormal IDCT, and chroma planes
-    are upsampled to full resolution. Supported: 8-bit SOF0/SOF1, 1 or 3
-    components with sampling factors in {1, 2} (covers 4:4:4, 4:2:2,
-    4:4:0 and the dominant real-world 4:2:0 shape), restart intervals
-    (DRI + RSTn, DC predictors reset per segment); progressive /
-    arithmetic / hierarchical → None, never raises."""
+    """(height, width, channels) uint8 from a JFIF stream, or None if not
+    decodable. Real T.81 machinery: DQT/DHT tables are read from the file
+    (any spec-valid tables, not just ours), entropy data is un-stuffed and
+    Huffman-decoded scan by scan into per-component coefficient arrays,
+    dequantized through the zigzag, reconstructed with the orthonormal
+    IDCT, and chroma planes are upsampled to full resolution.
+
+    Supported: 8-bit SOF0/SOF1 baseline/extended sequential AND SOF2
+    progressive (Annex G: spectral selection, successive approximation
+    with DC/AC refinement scans and EOB runs), 1 or 3 components with
+    sampling factors in {1, 2} (4:4:4, 4:2:2, 4:4:0 and the dominant
+    real-world 4:2:0), interleaved and per-component scans, restart
+    intervals (DRI + RSTn, predictors and EOB runs reset per segment).
+    Arithmetic / hierarchical / 12-bit → None, never raises."""
     try:
         b = payload
         if not b.startswith(b"\xff\xd8"):
@@ -794,16 +1119,206 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         pos = 2
         qtables: dict[int, np.ndarray] = {}
         htables: dict[tuple[int, int], dict] = {}
-        frame = None
-        scan_comps = None
-        scan_start = None
+        frame = None          # (h, w, comps, progressive)
         restart_interval = 0
+        coeffs: list[np.ndarray] = []
+        grids: list[tuple[int, int, int, int]] = []  # nby, nbx, cby, cbx
+        dims: tuple[int, int, int, int] | None = None  # hmax vmax mcux mcuy
+        any_scan = False
+
+        def extend(v: int, size: int) -> int:
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        def decode_scan(scan_comps, ss, se, ah, al, data):
+            """Huffman-decode one entropy segment into ``coeffs``.
+            ``scan_comps`` = [(ci, dc_table, ac_table)]."""
+            nonlocal any_scan
+            any_scan = True
+            h, w, comps, progressive = frame
+            hmax, vmax, mcux, mcuy = dims
+            bitpos = 0
+            nbits = len(data) * 8
+
+            def read_bit() -> int:
+                nonlocal bitpos
+                if bitpos >= nbits:
+                    raise EOFError
+                byte = data[bitpos >> 3]
+                bit = (byte >> (7 - (bitpos & 7))) & 1
+                bitpos += 1
+                return bit
+
+            def read_bits(n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | read_bit()
+                return v
+
+            def huff(table: dict) -> int:
+                code, length = 0, 0
+                while length < 16:
+                    code = (code << 1) | read_bit()
+                    length += 1
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("bad huffman code")
+
+            dc_pred = {ci: 0 for ci, _, _ in scan_comps}
+            eobrun = 0
+            p1, m1 = 1 << al, (-1) << al
+
+            def seq_block(ci, dct, act, blk):
+                size = huff(dct)
+                diff = extend(read_bits(size), size) if size else 0
+                dc_pred[ci] += diff
+                blk[0] = dc_pred[ci]
+                k = 1
+                while k < 64:
+                    sym = huff(act)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63 or size == 0:
+                        raise ValueError("bad AC run")
+                    blk[k] = extend(read_bits(size), size)
+                    k += 1
+
+            def dc_first(ci, dct, blk):
+                size = huff(dct)
+                diff = extend(read_bits(size), size) if size else 0
+                dc_pred[ci] += diff
+                blk[0] = dc_pred[ci] << al
+
+            def dc_refine(blk):
+                if read_bit():
+                    blk[0] = int(blk[0]) | p1
+
+            def ac_first(act, blk):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    sym = huff(act)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("bad AC run")
+                    blk[k] = extend(read_bits(s), s) << al
+                    k += 1
+
+            def ac_refine(act, blk):
+                nonlocal eobrun
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = huff(act)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += read_bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("bad refine size")
+                            val = p1 if read_bit() else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if read_bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if read_bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+            def decode_block(ci, dct, act, by, bx):
+                blk = coeffs[ci][by, bx]
+                if not progressive:
+                    seq_block(ci, dct, act, blk)
+                elif ss == 0 and ah == 0:
+                    dc_first(ci, dct, blk)
+                elif ss == 0:
+                    dc_refine(blk)
+                elif ah == 0:
+                    ac_first(act, blk)
+                else:
+                    ac_refine(act, blk)
+
+            def restart():
+                nonlocal bitpos, eobrun
+                bitpos = (bitpos + 7) & ~7  # byte-align past RSTn
+                for ci in dc_pred:
+                    dc_pred[ci] = 0
+                eobrun = 0
+
+            if len(scan_comps) == 1:
+                # non-interleaved: the component's own block grid
+                ci, dct, act = scan_comps[0]
+                cby, cbx = grids[ci][2], grids[ci][3]
+                n = 0
+                for by in range(cby):
+                    for bx in range(cbx):
+                        if restart_interval and n and n % restart_interval == 0:
+                            restart()
+                        decode_block(ci, dct, act, by, bx)
+                        n += 1
+            else:
+                if progressive and ss != 0:
+                    raise ValueError("interleaved AC scan")
+                n = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and n and n % restart_interval == 0:
+                            restart()
+                        for ci, dct, act in scan_comps:
+                            _, hi, vi, _ = comps[ci]
+                            for dy in range(vi):
+                                for dx in range(hi):
+                                    decode_block(
+                                        ci, dct, act,
+                                        my * vi + dy, mx * hi + dx,
+                                    )
+                        n += 1
+
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
-            if marker == 0xD9:
+            if marker == 0xD9:  # EOI
                 break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
             seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
             body = b[pos + 4 : pos + 2 + seg_len]
             if marker == 0xDB:  # DQT (may hold several tables)
@@ -816,9 +1331,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                         body[i + 1 : i + 65], dtype=np.uint8
                     ).astype(np.int64)
                     i += 65
-            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-                prec, h, w = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big")
-                if prec != 8:
+            elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+                prec = body[0]
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                if prec != 8 or frame is not None:
                     return None
                 ncomp = body[5]
                 comps = []
@@ -829,13 +1346,28 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                         return None  # sampling beyond 2x2 unsupported
                     comps.append((cid, hi, vi, tq))
                 if ncomp == 1:
-                    # non-interleaved single-component scan uses the
-                    # component's own 8x8 grid (T.81 A.2.2)
+                    # a single-component image always uses its own 8x8
+                    # grid (T.81 A.2.2)
                     comps = [(comps[0][0], 1, 1, comps[0][3])]
-                frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                if h == 0 or w == 0 or len(comps) not in (1, 3):
+                    return None
+                frame = (h, w, comps, marker == 0xC2)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                dims = (hmax, vmax, mcux, mcuy)
+                for _, hi, vi, _ in comps:
+                    nby, nbx = mcuy * vi, mcux * hi
+                    cw = (w * hi + hmax - 1) // hmax
+                    ch = (h * vi + vmax - 1) // vmax
+                    grids.append(
+                        (nby, nbx, (ch + 7) // 8, (cw + 7) // 8)
+                    )
+                    coeffs.append(np.zeros((nby, nbx, 64), dtype=np.int64))
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / hierarchical
+                return None  # lossless / arithmetic / hierarchical
             elif marker == 0xC4:  # DHT (may hold several tables)
                 i = 0
                 while i + 17 <= len(body):
@@ -856,133 +1388,78 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(body[:2], "big")
             elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
                 ns = body[0]
-                scan_comps = [
-                    (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
-                    for c in range(ns)
-                ]
-                scan_start = pos + 2 + seg_len
-                break
+                h, w, comps, progressive = frame
+                by_id = {c[0]: i for i, c in enumerate(comps)}
+                scan_comps = []
+                for c in range(ns):
+                    sid = body[1 + 2 * c]
+                    td = body[2 + 2 * c] >> 4
+                    ta = body[2 + 2 * c] & 0xF
+                    if sid not in by_id:
+                        return None
+                    ci = by_id[sid]
+                    need_dc = (not progressive) or body[1 + 2 * ns] == 0
+                    need_ac = (not progressive) or body[1 + 2 * ns] != 0 \
+                        or body[2 + 2 * ns] != 0
+                    dct = htables.get((0, td)) if need_dc else None
+                    act = htables.get((1, ta)) if need_ac else None
+                    if (need_dc and dct is None) or (need_ac and act is None):
+                        return None
+                    scan_comps.append((ci, dct, act))
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                ah, al = a >> 4, a & 0xF
+                if not progressive and (ss != 0 or se != 63 or a != 0):
+                    return None
+                if progressive and not (
+                    0 <= ss <= se <= 63 and (ss == 0) == (se == 0)
+                ):
+                    return None
+                # un-stuff the entropy stream up to the next marker; RSTn
+                # markers are dropped in place (the decoder re-aligns to
+                # the byte boundary at each restart, which lands exactly
+                # where the next segment resumes)
+                data = bytearray()
+                i = pos + 2 + seg_len
+                while i < len(b):
+                    c = b[i]
+                    if c == 0xFF:
+                        if i + 1 < len(b) and b[i + 1] == 0x00:
+                            data.append(0xFF)
+                            i += 2
+                            continue
+                        if i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
+                            i += 2
+                            continue
+                        break  # real marker terminates the scan
+                    data.append(c)
+                    i += 1
+                decode_scan(scan_comps, ss, se, ah, al, data)
+                pos = i
+                continue
             pos += 2 + seg_len
-        if frame is None or scan_comps is None:
+
+        if frame is None or not any_scan:
             return None
-        h, w, comps = frame
-        if h == 0 or w == 0 or len(comps) not in (1, 3):
-            return None
-        if len(scan_comps) != len(comps):
-            return None
-
-        # un-stuff the entropy stream up to the next marker; RSTn markers
-        # are dropped in place (the decoder re-aligns to the byte boundary
-        # at each restart, which lands exactly where the segment resumes)
-        data = bytearray()
-        i = scan_start
-        while i < len(b):
-            c = b[i]
-            if c == 0xFF:
-                if i + 1 < len(b) and b[i + 1] == 0x00:
-                    data.append(0xFF)
-                    i += 2
-                    continue
-                if i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
-                    i += 2
-                    continue
-                break  # real marker terminates the scan
-            data.append(c)
-            i += 1
-
-        # bit reader state
-        bitpos = 0
-        nbits = len(data) * 8
-
-        def read_bit() -> int:
-            nonlocal bitpos
-            if bitpos >= nbits:
-                raise EOFError
-            byte = data[bitpos >> 3]
-            bit = (byte >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            return bit
-
-        def read_bits(n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | read_bit()
-            return v
-
-        def huff_decode(table: dict) -> int:
-            code, length = 0, 0
-            while length < 16:
-                code = (code << 1) | read_bit()
-                length += 1
-                sym = table.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("bad huffman code")
-
-        def extend(v: int, size: int) -> int:
-            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        mcux = (w + 8 * hmax - 1) // (8 * hmax)
-        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-        comp_q = []
-        comp_dc = []
-        comp_ac = []
-        for (cid, hi, vi, tq), (sid, td, ta) in zip(comps, scan_comps):
-            if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
-                return None
-            comp_q.append(qtables[tq])
-            comp_dc.append(htables[(0, td)])
-            comp_ac.append(htables[(1, ta)])
-        planes = [
-            np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
-            for c in comps
-        ]
-        dc_prev = [0] * len(comps)
+        h, w, comps, progressive = frame
+        hmax, vmax, _, _ = dims
         m = _DCT_M
-        inv_zz = _ZIGZAG
-
-        def decode_block(ci: int, by: int, bx: int) -> None:
-            zz = np.zeros(64, dtype=np.int64)
-            size = huff_decode(comp_dc[ci])
-            diff = extend(read_bits(size), size) if size else 0
-            dc_prev[ci] += diff
-            zz[0] = dc_prev[ci]
-            k = 1
-            while k < 64:
-                sym = huff_decode(comp_ac[ci])
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63 or size == 0:
-                    raise ValueError("bad AC run")
-                zz[k] = extend(read_bits(size), size)
-                k += 1
-            coeff = np.zeros(64, dtype=np.float64)
-            coeff[inv_zz] = zz * comp_q[ci]
-            block = m.T @ coeff.reshape(8, 8) @ m
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-
-        mcu_n = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if (restart_interval and mcu_n
-                        and mcu_n % restart_interval == 0):
-                    bitpos = (bitpos + 7) & ~7  # byte-align past RSTn
-                    dc_prev[:] = [0] * len(comps)
-                for ci, (cid, hi, vi, tq) in enumerate(comps):
-                    for dy in range(vi):
-                        for dx in range(hi):
-                            decode_block(ci, my * vi + dy, mx * hi + dx)
-                mcu_n += 1
         out = []
-        for p, (cid, hi, vi, tq) in zip(planes, comps):
+        for (cid, hi, vi, tq), zz in zip(comps, coeffs):
+            if tq not in qtables:
+                return None
+            deq = zz * qtables[tq][None, None, :]
+            c2d = np.zeros(zz.shape[:2] + (64,), dtype=np.float64)
+            c2d[:, :, _ZIGZAG] = deq
+            c2d = c2d.reshape(zz.shape[0], zz.shape[1], 8, 8)
+            blocks = np.einsum("ji,abjk,kl->abil", m, c2d, m)
+            p = blocks.transpose(0, 2, 1, 3).reshape(
+                zz.shape[0] * 8, zz.shape[1] * 8
+            )
             if hi != hmax or vi != vmax:  # chroma upsample to full res
                 p = np.repeat(np.repeat(p, vmax // vi, axis=0),
                               hmax // hi, axis=1)
@@ -997,6 +1474,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
     except Exception:
         return None
+
+
+
 def decode_png(payload: bytes) -> "np.ndarray | None":
     """(height, width, channels) uint8, or None if not a decodable PNG.
     Never raises."""
