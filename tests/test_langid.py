@@ -164,6 +164,39 @@ HELDOUT_HARD = {
            "læknirinn sagði honum að hvíla sig í viku og drekka mikið vatn"],
     "sq": ["natën yjet shkëlqenin ndritshëm mbi malet e ftohta dhe ne i numëronim derisa na zuri gjumi",
            "mjeku i tha të pushonte një javë dhe të pinte shumë ujë"],
+    # round-5 tranche 2
+    "af": ["in die nag het die sterre helder bo die koue berge geskyn en ons het hulle getel totdat ons aan die slaap geraak het",
+           "die dokter het hom gesê om n week te rus en baie water te drink"],
+    "gl": ["pola noite as estrelas brillaban sobre as montañas frías e contabámolas ata quedarmos durmidos",
+           "o médico díxolle que descansase unha semana e que bebese moita auga"],
+    "be": ["ноччу зоркі ярка ззялі над халоднымі гарамі і мы лічылі іх пакуль не заснулі",
+           "доктар сказаў яму адпачываць тыдзень і піць шмат вады"],
+    "kk": ["түнде жұлдыздар суық таулардың үстінде жарқырап тұрды біз ұйықтағанша оларды санадық",
+           "дәрігер оған бір апта демалып көп су ішуді айтты"],
+    "az": ["gecə ulduzlar soyuq dağların üzərində parlaq şəkildə parıldayırdı və biz yuxuya gedənə qədər onları saydıq",
+           "həkim ona bir həftə istirahət etməyi və çoxlu su içməyi dedi"],
+    "mr": ["रात्री थंड डोंगरांवर तारे तेजस्वी चमकत होते आणि झोप लागेपर्यंत आम्ही ते मोजत राहिलो",
+           "डॉक्टरांनी त्याला आठवडाभर विश्रांती घ्यायला आणि भरपूर पाणी प्यायला सांगितले"],
+    "ne": ["रातमा चिसा पहाडहरूमाथि ताराहरू चम्किलो गरी चम्किरहेका थिए र हामी निदाउन्जेल तिनलाई गन्दै रह्यौं",
+           "डाक्टरले उसलाई एक हप्ता आराम गर्न र धेरै पानी पिउन भने"],
+    "gu": ["રાત્રે ઠંડા પહાડો પર તારાઓ તેજસ્વી ચમકતા હતા અને ઊંઘ આવે ત્યાં સુધી અમે તેમને ગણતા રહ્યા",
+           "ડૉક્ટરે તેને એક અઠવાડિયું આરામ કરવા અને ખૂબ પાણી પીવા કહ્યું"],
+    "pa": ["ਰਾਤ ਨੂੰ ਠੰਢੇ ਪਹਾੜਾਂ ਉੱਤੇ ਤਾਰੇ ਚਮਕ ਰਹੇ ਸਨ ਅਤੇ ਅਸੀਂ ਸੌਣ ਤੱਕ ਉਨ੍ਹਾਂ ਨੂੰ ਗਿਣਦੇ ਰਹੇ",
+           "ਡਾਕਟਰ ਨੇ ਉਸਨੂੰ ਇੱਕ ਹਫ਼ਤਾ ਆਰਾਮ ਕਰਨ ਅਤੇ ਬਹੁਤ ਪਾਣੀ ਪੀਣ ਲਈ ਕਿਹਾ"],
+    "kn": ["ರಾತ್ರಿಯಲ್ಲಿ ತಣ್ಣನೆಯ ಬೆಟ್ಟಗಳ ಮೇಲೆ ನಕ್ಷತ್ರಗಳು ಪ್ರಕಾಶಮಾನವಾಗಿ ಹೊಳೆಯುತ್ತಿದ್ದವು ನಿದ್ದೆ ಬರುವವರೆಗೆ ನಾವು ಅವುಗಳನ್ನು ಎಣಿಸಿದೆವು",
+           "ವೈದ್ಯರು ಅವನಿಗೆ ಒಂದು ವಾರ ವಿಶ್ರಾಂತಿ ಪಡೆದು ಸಾಕಷ್ಟು ನೀರು ಕುಡಿಯಲು ಹೇಳಿದರು"],
+    "ml": ["രാത്രിയിൽ തണുത്ത മലകൾക്ക് മീതെ നക്ഷത്രങ്ങൾ തിളങ്ങി ഉറങ്ങുന്നത് വരെ ഞങ്ങൾ അവ എണ്ണിക്കൊണ്ടിരുന്നു",
+           "ഒരാഴ്ച വിശ്രമിക്കാനും ധാരാളം വെള്ളം കുടിക്കാനും ഡോക്ടർ അവനോട് പറഞ്ഞു"],
+    "si": ["රාත්‍රියේ සීතල කඳු මුදුන් මත තරු දීප්තිමත්ව බැබළුණු අතර නින්දට යන තුරු අපි ඒවා ගණන් කළෙමු",
+           "වෛද්‍යවරයා ඔහුට සතියක් විවේක ගන්නටත් වතුර ගොඩක් බොන්නටත් කීවේය"],
+    "am": ["በሌሊት ከዋክብት በቀዝቃዛ ተራሮች ላይ በብሩህ ያበሩ ነበር እስክንተኛም ድረስ እንቆጥራቸው ነበር",
+           "ሐኪሙ አንድ ሳምንት እንዲያርፍና ብዙ ውሃ እንዲጠጣ ነገረው"],
+    "km": ["នៅពេលយប់ ផ្កាយភ្លឺចែងចាំងលើភ្នំត្រជាក់ ហើយយើងរាប់វារហូតដល់ដេកលក់",
+           "គ្រូពេទ្យប្រាប់គាត់ឱ្យសម្រាកមួយសប្តាហ៍ និងផឹកទឹកឱ្យច្រើន"],
+    "lo": ["ຕອນກາງຄືນ ດາວສ່ອງແສງສະຫວ່າງຢູ່ເທິງພູເຢັນໆ ແລະພວກເຮົານັບພວກມັນຈົນນອນຫຼັບ",
+           "ທ່ານໝໍບອກລາວໃຫ້ພັກຜ່ອນໜຶ່ງອາທິດ ແລະດື່ມນໍ້າຫຼາຍໆ"],
+    "my": ["ညအခါ ကြယ်များသည် အေးသောတောင်များပေါ်တွင် တောက်ပစွာ လင်းနေပြီး အိပ်ပျော်သည်အထိ ကျွန်ုပ်တို့ ရေတွက်နေခဲ့သည်",
+           "ဆရာဝန်က သူ့ကို တစ်ပတ် အနားယူပြီး ရေများများသောက်ရန် ပြောသည်"],
 }
 
 

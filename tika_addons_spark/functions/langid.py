@@ -42,7 +42,7 @@ MIN_DIFF = 0.20
 PROBE_EVERY = 110
 
 # ---------------------------------------------------------------------------
-# seed corpora — authored multi-paragraph text per language, 48 languages
+# seed corpora — authored multi-paragraph text per language, 64 languages
 # (self-contained, written for this repo; no external data). Each language
 # gets three paragraphs on DIFFERENT topics (village morning / market and
 # cooking / city work and travel) so the trigram tables are not fit to one
@@ -908,6 +908,309 @@ LANG_SAMPLES: dict[str, str] = {
         "nga dritarja dukeshin fabrikat urat dhe rreshtat e gjatë të "
         "shtëpive nën qiellin gri puna mbaroi vonë por rrugët ishin "
         "ende të ndritshme nga llambat dhe muzika nga dyert e hapura"
+    ),
+    # --- round-5 tranche 2: 16 further languages (af next to nl and gl
+    # next to es/pt are deliberate Latin-script confusables; be/kk extend
+    # Cyrillic next to ru/uk; az is a tr-confusable; mr/ne share Devanagari
+    # with hi; gu/pa/kn/ml/si/am/km/lo/my add nine scripts) ---
+    "af": (
+        "die oggendlig versprei oor die dorpie en die kinders speel in "
+        "die tuin terwyl hulle ma vars brood met botter en heuning bring "
+        "die ou horlosie teen die muur hou aan om die ure te tel wat ons "
+        "saam deurbring terwyl ons stories lees oor verre berge en oor "
+        "die mense wat daar loop op soek na n stil plek\n"
+        "by die mark verkoop die boere appels uie en kaas en die bakker "
+        "verduidelik hoe lank die deeg moet rus voordat dit in die warm "
+        "oond gaan sy sê dat goeie sop tyd sout en n bietjie geduld "
+        "nodig het en dat n mens vis nooit langer as nodig moet kook nie "
+        "ons het eiers tamaties en n sak rys vir die week gekoop\n"
+        "maandag was dit besig op kantoor omdat die nuwe projek begin "
+        "het en almal die verslag voor die vergadering wou lees die "
+        "trein na die stad was vol mense met sakke en fone en deur die "
+        "venster kon jy fabrieke brûe en lang rye huise onder n grys "
+        "lug sien die werk het laat geëindig maar die strate was nog "
+        "helder van die lampe en die musiek uit die oop deure"
+    ),
+    "gl": (
+        "a luz da mañá esténdese sobre a aldea e os nenos xogan no "
+        "xardín mentres a súa nai trae pan fresco con manteiga e mel o "
+        "vello reloxo da parede segue a contar as horas que pasamos "
+        "xuntos lendo historias sobre montañas afastadas e sobre a "
+        "xente que camiña por elas buscando un lugar tranquilo\n"
+        "no mercado os labregos venden mazás cebolas e queixo e o "
+        "panadeiro explica canto tempo debe repousar a masa antes de "
+        "entrar no forno quente ela di que unha boa sopa precisa tempo "
+        "sal e un pouco de paciencia e que o peixe non se debe cocer "
+        "máis do necesario mercamos ovos tomates e un saco de arroz "
+        "para a semana\n"
+        "o luns había moito traballo na oficina porque comezara o novo "
+        "proxecto e todos querían ler o informe antes da xuntanza o "
+        "tren á cidade ía cheo de xente con bolsas e teléfonos e pola "
+        "fiestra víanse fábricas pontes e longas ringleiras de casas "
+        "baixo un ceo gris o traballo rematou tarde pero as rúas aínda "
+        "estaban claras coas lámpadas e a música das portas abertas"
+    ),
+    "be": (
+        "ранішняе святло разліваецца над вёскай і дзеці гуляюць у садзе "
+        "пакуль іх маці нясе свежы хлеб з маслам і мёдам стары гадзіннік "
+        "на сцяне працягвае лічыць гадзіны якія мы праводзім разам "
+        "чытаючы гісторыі пра далёкія горы і пра людзей якія ходзяць па "
+        "іх шукаючы ціхае месца\n"
+        "на кірмашы сяляне прадаюць яблыкі цыбулю і сыр а пекар "
+        "тлумачыць колькі цеста мусіць адпачываць перш чым трапіць у "
+        "гарачую печ яна кажа што добраму супу патрэбны час соль і "
+        "крыху цярплівасці і што рыбу не трэба варыць даўжэй чым трэба "
+        "мы купілі яйкі памідоры і мех рысу на тыдзень\n"
+        "у панядзелак у канторы было шмат працы бо пачаўся новы праект "
+        "і ўсе хацелі прачытаць справаздачу перад нарадай цягнік у "
+        "горад быў поўны людзей з торбамі і тэлефонамі праз акно было "
+        "відаць заводы масты і доўгія рады дамоў пад шэрым небам праца "
+        "скончылася позна але вуліцы яшчэ былі светлыя ад ліхтароў і "
+        "музыкі з адчыненых дзвярэй"
+    ),
+    "kk": (
+        "таңғы жарық ауыл үстіне тарайды да балалар бақта ойнайды ал "
+        "аналары май мен бал қосылған жаңа нан әкеледі қабырғадағы ескі "
+        "сағат біз бірге өткізетін сағаттарды санай береді біз алыстағы "
+        "таулар туралы және сол тауларда тыныш жер іздеп жүрген адамдар "
+        "туралы әңгімелер оқимыз\n"
+        "базарда шаруалар алма пияз және ірімшік сатады наубайшы қамыр "
+        "ыстық пешке кірер алдында қанша уақыт тынығу керегін "
+        "түсіндіреді ол жақсы сорпаға уақыт тұз және аздап шыдамдылық "
+        "керек дейді балықты қажеттен артық пісірмеу керек біз жұмыртқа "
+        "қызанақ және аптаға бір қап күріш сатып алдық\n"
+        "дүйсенбіде кеңседе жұмыс көп болды өйткені жаңа жоба басталды "
+        "және бәрі жиналыс алдында есепті оқығысы келді қалаға баратын "
+        "пойыз сөмке мен телефон ұстаған адамдарға толы болды терезеден "
+        "зауыттар көпірлер және сұр аспан астындағы ұзын үй қатарлары "
+        "көрінді жұмыс кеш аяқталды бірақ көшелер әлі де шамдар мен "
+        "ашық есіктерден шыққан музыкадан жарық болды"
+    ),
+    "az": (
+        "səhər işığı kəndin üzərinə yayılır və uşaqlar bağda oynayır "
+        "anaları isə yağ və bal ilə təzə çörək gətirir divardakı köhnə "
+        "saat birlikdə keçirdiyimiz saatları saymağa davam edir biz uzaq "
+        "dağlar haqqında və orada sakit yer axtararaq gəzən insanlar "
+        "haqqında hekayələr oxuyuruq\n"
+        "bazarda kəndlilər alma soğan və pendir satır çörəkçi xəmirin "
+        "isti sobaya girməzdən əvvəl nə qədər dincəlməli olduğunu izah "
+        "edir o deyir ki yaxşı şorbaya vaxt duz və bir az səbir lazımdır "
+        "və balığı lazım olandan çox bişirmək olmaz biz yumurta pomidor "
+        "və həftə üçün bir kisə düyü aldıq\n"
+        "bazar ertəsi ofisdə çox iş var idi çünki yeni layihə başlamışdı "
+        "və hamı iclasdan əvvəl hesabatı oxumaq istəyirdi şəhərə gedən "
+        "qatar çanta və telefon tutan insanlarla dolu idi pəncərədən "
+        "zavodlar körpülər və boz səma altında uzun ev cərgələri "
+        "görünürdü iş gec bitdi amma küçələr hələ də lampalardan və "
+        "açıq qapılardan gələn musiqidən işıqlı idi"
+    ),
+    "mr": (
+        "सकाळचा प्रकाश गावावर पसरतो आणि मुले बागेत खेळतात तेव्हा त्यांची "
+        "आई लोणी आणि मध घेऊन ताजी भाकरी आणते भिंतीवरचे जुने घड्याळ आपण "
+        "एकत्र घालवलेले तास मोजत राहते आपण दूरच्या डोंगरांच्या गोष्टी "
+        "वाचतो आणि तिथे शांत जागा शोधत चालणाऱ्या माणसांच्या गोष्टीही\n"
+        "बाजारात शेतकरी सफरचंद कांदे आणि चीज विकतात आणि भटारी सांगतो की "
+        "गरम भट्टीत जाण्यापूर्वी पीठ किती वेळ विसावले पाहिजे ती म्हणते "
+        "चांगल्या आमटीला वेळ मीठ आणि थोडा धीर लागतो आणि मासा गरजेपेक्षा "
+        "जास्त शिजवू नये आम्ही अंडी टोमॅटो आणि आठवड्यासाठी एक पोते "
+        "तांदूळ विकत घेतले\n"
+        "सोमवारी कार्यालयात खूप काम होते कारण नवीन प्रकल्प सुरू झाला "
+        "होता आणि सर्वांना बैठकीपूर्वी अहवाल वाचायचा होता शहराकडे "
+        "जाणारी रेल्वे पिशव्या आणि फोन घेतलेल्या लोकांनी भरली होती "
+        "खिडकीतून कारखाने पूल आणि करड्या आकाशाखाली घरांच्या लांब रांगा "
+        "दिसत होत्या काम उशिरा संपले पण रस्ते अजूनही दिव्यांनी आणि "
+        "उघड्या दारांतून येणाऱ्या संगीताने उजळलेले होते"
+    ),
+    "ne": (
+        "बिहानको उज्यालो गाउँमाथि फैलिन्छ र केटाकेटीहरू बगैंचामा "
+        "खेल्छन् उनीहरूकी आमाले मक्खन र मह सहित ताजा रोटी ल्याउँछिन् "
+        "भित्ताको पुरानो घडीले हामीले सँगै बिताएका घण्टाहरू गन्दै रहन्छ "
+        "हामी टाढाका पहाडहरूका कथाहरू पढ्छौं र त्यहाँ शान्त ठाउँ "
+        "खोज्दै हिँड्ने मानिसहरूका बारेमा पनि\n"
+        "बजारमा किसानहरूले स्याउ प्याज र चीज बेच्छन् र रोटी बनाउनेले "
+        "तातो चुलोमा जानुअघि पीठो कति बेर आराम गर्नुपर्छ भनेर बताउँछ "
+        "उनी भन्छिन् राम्रो झोलको लागि समय नुन र अलिकति धैर्य चाहिन्छ "
+        "र माछालाई चाहिनेभन्दा बढी पकाउनु हुँदैन हामीले अण्डा गोलभेंडा "
+        "र हप्ताका लागि एक बोरा चामल किन्यौं\n"
+        "सोमबार कार्यालयमा धेरै काम थियो किनभने नयाँ परियोजना सुरु "
+        "भएको थियो र सबैले बैठकअघि प्रतिवेदन पढ्न चाहन्थे सहर जाने "
+        "रेल झोला र फोन बोकेका मानिसहरूले भरिएको थियो झ्यालबाट "
+        "कारखानाहरू पुलहरू र खैरो आकाशमुनि घरहरूका लामा लहरहरू "
+        "देखिन्थे काम ढिलो सकियो तर सडकहरू अझै बत्तीहरूले र खुला "
+        "ढोकाबाट आउने सङ्गीतले उज्याला थिए"
+    ),
+    "gu": (
+        "સવારનો પ્રકાશ ગામ પર ફેલાય છે અને બાળકો બગીચામાં રમે છે "
+        "ત્યારે તેમની મા માખણ અને મધ સાથે તાજી રોટલી લાવે છે દીવાલ "
+        "પરની જૂની ઘડિયાળ આપણે સાથે વિતાવેલા કલાકો ગણતી રહે છે આપણે "
+        "દૂરના પહાડોની વાર્તાઓ વાંચીએ છીએ અને ત્યાં શાંત જગ્યા શોધતા "
+        "ચાલતા લોકોની વાતો પણ\n"
+        "બજારમાં ખેડૂતો સફરજન ડુંગળી અને ચીઝ વેચે છે અને ભઠિયારો "
+        "સમજાવે છે કે ગરમ ભઠ્ઠીમાં જતા પહેલા લોટે કેટલો સમય આરામ કરવો "
+        "જોઈએ તે કહે છે કે સારા સૂપ માટે સમય મીઠું અને થોડી ધીરજ જોઈએ "
+        "અને માછલીને જરૂર કરતાં વધારે રાંધવી ન જોઈએ અમે ઈંડાં ટામેટાં "
+        "અને અઠવાડિયા માટે એક થેલી ચોખા ખરીદ્યા\n"
+        "સોમવારે કચેરીમાં ઘણું કામ હતું કારણ કે નવો પ્રોજેક્ટ શરૂ થયો "
+        "હતો અને બધા બેઠક પહેલા અહેવાલ વાંચવા માંગતા હતા શહેર જતી "
+        "ટ્રેન થેલા અને ફોન લઈને ઊભેલા લોકોથી ભરેલી હતી બારીમાંથી "
+        "કારખાનાં પુલ અને રાખોડી આકાશ નીચે ઘરોની લાંબી હાર દેખાતી "
+        "હતી કામ મોડું પૂરું થયું પણ શેરીઓ હજુ દીવાઓથી અને ખુલ્લા "
+        "બારણાંમાંથી આવતા સંગીતથી ઝળહળતી હતી"
+    ),
+    "pa": (
+        "ਸਵੇਰ ਦੀ ਰੌਸ਼ਨੀ ਪਿੰਡ ਉੱਤੇ ਫੈਲਦੀ ਹੈ ਅਤੇ ਬੱਚੇ ਬਾਗ ਵਿੱਚ ਖੇਡਦੇ ਹਨ "
+        "ਜਦੋਂ ਉਨ੍ਹਾਂ ਦੀ ਮਾਂ ਮੱਖਣ ਅਤੇ ਸ਼ਹਿਦ ਨਾਲ ਤਾਜ਼ੀ ਰੋਟੀ ਲਿਆਉਂਦੀ ਹੈ "
+        "ਕੰਧ ਉੱਤੇ ਪੁਰਾਣੀ ਘੜੀ ਉਹ ਘੰਟੇ ਗਿਣਦੀ ਰਹਿੰਦੀ ਹੈ ਜੋ ਅਸੀਂ ਇਕੱਠੇ "
+        "ਬਿਤਾਉਂਦੇ ਹਾਂ ਅਸੀਂ ਦੂਰ ਪਹਾੜਾਂ ਦੀਆਂ ਕਹਾਣੀਆਂ ਪੜ੍ਹਦੇ ਹਾਂ ਅਤੇ "
+        "ਉੱਥੇ ਸ਼ਾਂਤ ਥਾਂ ਲੱਭਦੇ ਤੁਰਦੇ ਲੋਕਾਂ ਬਾਰੇ ਵੀ\n"
+        "ਬਾਜ਼ਾਰ ਵਿੱਚ ਕਿਸਾਨ ਸੇਬ ਪਿਆਜ਼ ਅਤੇ ਪਨੀਰ ਵੇਚਦੇ ਹਨ ਅਤੇ ਲਾਂਗਰੀ "
+        "ਦੱਸਦਾ ਹੈ ਕਿ ਗਰਮ ਤੰਦੂਰ ਵਿੱਚ ਜਾਣ ਤੋਂ ਪਹਿਲਾਂ ਆਟੇ ਨੂੰ ਕਿੰਨਾ ਸਮਾਂ "
+        "ਆਰਾਮ ਕਰਨਾ ਚਾਹੀਦਾ ਹੈ ਉਹ ਕਹਿੰਦੀ ਹੈ ਕਿ ਚੰਗੇ ਸ਼ੋਰਬੇ ਲਈ ਸਮਾਂ ਲੂਣ "
+        "ਅਤੇ ਥੋੜ੍ਹਾ ਸਬਰ ਚਾਹੀਦਾ ਹੈ ਅਤੇ ਮੱਛੀ ਨੂੰ ਲੋੜ ਤੋਂ ਵੱਧ ਨਹੀਂ "
+        "ਪਕਾਉਣਾ ਚਾਹੀਦਾ ਅਸੀਂ ਆਂਡੇ ਟਮਾਟਰ ਅਤੇ ਹਫ਼ਤੇ ਲਈ ਇੱਕ ਬੋਰੀ ਚੌਲ "
+        "ਖਰੀਦੇ\n"
+        "ਸੋਮਵਾਰ ਨੂੰ ਦਫ਼ਤਰ ਵਿੱਚ ਬਹੁਤ ਕੰਮ ਸੀ ਕਿਉਂਕਿ ਨਵਾਂ ਪ੍ਰਾਜੈਕਟ ਸ਼ੁਰੂ "
+        "ਹੋਇਆ ਸੀ ਅਤੇ ਸਾਰੇ ਮੀਟਿੰਗ ਤੋਂ ਪਹਿਲਾਂ ਰਿਪੋਰਟ ਪੜ੍ਹਨਾ ਚਾਹੁੰਦੇ ਸਨ "
+        "ਸ਼ਹਿਰ ਜਾਣ ਵਾਲੀ ਰੇਲ ਝੋਲਿਆਂ ਅਤੇ ਫੋਨਾਂ ਵਾਲੇ ਲੋਕਾਂ ਨਾਲ ਭਰੀ ਹੋਈ "
+        "ਸੀ ਖਿੜਕੀ ਵਿੱਚੋਂ ਕਾਰਖਾਨੇ ਪੁਲ ਅਤੇ ਸਲੇਟੀ ਅਸਮਾਨ ਹੇਠ ਘਰਾਂ ਦੀਆਂ "
+        "ਲੰਮੀਆਂ ਕਤਾਰਾਂ ਦਿਸਦੀਆਂ ਸਨ ਕੰਮ ਦੇਰ ਨਾਲ ਮੁੱਕਿਆ ਪਰ ਗਲੀਆਂ ਅਜੇ "
+        "ਵੀ ਦੀਵਿਆਂ ਅਤੇ ਖੁੱਲ੍ਹੇ ਦਰਵਾਜ਼ਿਆਂ ਦੇ ਸੰਗੀਤ ਨਾਲ ਰੌਸ਼ਨ ਸਨ"
+    ),
+    "kn": (
+        "ಬೆಳಗಿನ ಬೆಳಕು ಹಳ್ಳಿಯ ಮೇಲೆ ಹರಡುತ್ತದೆ ಮಕ್ಕಳು ತೋಟದಲ್ಲಿ "
+        "ಆಡುತ್ತಾರೆ ಅವರ ಅಮ್ಮ ಬೆಣ್ಣೆ ಮತ್ತು ಜೇನುತುಪ್ಪದೊಂದಿಗೆ ತಾಜಾ "
+        "ರೊಟ್ಟಿ ತರುತ್ತಾಳೆ ಗೋಡೆಯ ಮೇಲಿನ ಹಳೆಯ ಗಡಿಯಾರ ನಾವು ಒಟ್ಟಿಗೆ "
+        "ಕಳೆಯುವ ಗಂಟೆಗಳನ್ನು ಎಣಿಸುತ್ತಲೇ ಇರುತ್ತದೆ ದೂರದ ಬೆಟ್ಟಗಳ ಕಥೆಗಳನ್ನು "
+        "ಓದುತ್ತೇವೆ ಅಲ್ಲಿ ನಡೆದು ಶಾಂತ ಸ್ಥಳ ಹುಡುಕುವ ಜನರ ಬಗ್ಗೆಯೂ\n"
+        "ಸಂತೆಯಲ್ಲಿ ರೈತರು ಸೇಬು ಈರುಳ್ಳಿ ಮತ್ತು ಗಿಣ್ಣು ಮಾರುತ್ತಾರೆ "
+        "ಬೇಕರಿಯವನು ಬಿಸಿ ಒಲೆಗೆ ಹೋಗುವ ಮೊದಲು ಹಿಟ್ಟು ಎಷ್ಟು ಹೊತ್ತು "
+        "ವಿಶ್ರಾಂತಿ ಪಡೆಯಬೇಕು ಎಂದು ವಿವರಿಸುತ್ತಾನೆ ಒಳ್ಳೆಯ ಸಾರಿಗೆ ಸಮಯ "
+        "ಉಪ್ಪು ಮತ್ತು ಸ್ವಲ್ಪ ತಾಳ್ಮೆ ಬೇಕು ಮೀನನ್ನು ಅಗತ್ಯಕ್ಕಿಂತ ಹೆಚ್ಚು "
+        "ಬೇಯಿಸಬಾರದು ಎಂದು ಅವಳು ಹೇಳುತ್ತಾಳೆ ನಾವು ಮೊಟ್ಟೆ ಟೊಮೇಟೊ ಮತ್ತು "
+        "ವಾರಕ್ಕೆ ಒಂದು ಚೀಲ ಅಕ್ಕಿ ಖರೀದಿಸಿದೆವು\n"
+        "ಸೋಮವಾರ ಕಚೇರಿಯಲ್ಲಿ ತುಂಬಾ ಕೆಲಸವಿತ್ತು ಹೊಸ ಯೋಜನೆ ಆರಂಭವಾಗಿದ್ದರಿಂದ "
+        "ಸಭೆಗೆ ಮೊದಲು ಎಲ್ಲರೂ ವರದಿಯನ್ನು ಓದಲು ಬಯಸಿದ್ದರು ನಗರಕ್ಕೆ ಹೋಗುವ "
+        "ರೈಲು ಚೀಲ ಮತ್ತು ಫೋನ್ ಹಿಡಿದ ಜನರಿಂದ ತುಂಬಿತ್ತು ಕಿಟಕಿಯಿಂದ "
+        "ಕಾರ್ಖಾನೆಗಳು ಸೇತುವೆಗಳು ಮತ್ತು ಬೂದು ಆಕಾಶದ ಕೆಳಗೆ ಮನೆಗಳ ಉದ್ದ "
+        "ಸಾಲುಗಳು ಕಾಣುತ್ತಿದ್ದವು ಕೆಲಸ ತಡವಾಗಿ ಮುಗಿಯಿತು ಆದರೆ ಬೀದಿಗಳು "
+        "ಇನ್ನೂ ದೀಪಗಳಿಂದ ಮತ್ತು ತೆರೆದ ಬಾಗಿಲುಗಳ ಸಂಗೀತದಿಂದ ಬೆಳಗುತ್ತಿದ್ದವು"
+    ),
+    "ml": (
+        "പ്രഭാത വെളിച്ചം ഗ്രാമത്തിന് മേൽ പരക്കുന്നു കുട്ടികൾ "
+        "തോട്ടത്തിൽ കളിക്കുന്നു അവരുടെ അമ്മ വെണ്ണയും തേനും ചേർത്ത് "
+        "പുതിയ റൊട്ടി കൊണ്ടുവരുന്നു ചുമരിലെ പഴയ ഘടികാരം നാം ഒന്നിച്ചു "
+        "ചെലവഴിക്കുന്ന മണിക്കൂറുകൾ എണ്ണിക്കൊണ്ടിരിക്കുന്നു ദൂരെയുള്ള "
+        "മലകളെക്കുറിച്ചുള്ള കഥകൾ വായിക്കുന്നു അവിടെ നടന്ന് ശാന്തമായ "
+        "സ്ഥലം തേടുന്ന മനുഷ്യരെക്കുറിച്ചും\n"
+        "ചന്തയിൽ കർഷകർ ആപ്പിളും ഉള്ളിയും പാൽക്കട്ടിയും വിൽക്കുന്നു "
+        "റൊട്ടിക്കാരൻ ചൂടുള്ള അടുപ്പിൽ പോകുന്നതിന് മുമ്പ് മാവ് എത്ര "
+        "നേരം വിശ്രമിക്കണമെന്ന് വിശദീകരിക്കുന്നു നല്ല ചാറിന് സമയവും "
+        "ഉപ്പും അല്പം ക്ഷമയും വേണമെന്നും മീൻ ആവശ്യത്തിലധികം "
+        "വേവിക്കരുതെന്നും അവൾ പറയുന്നു ഞങ്ങൾ മുട്ടയും തക്കാളിയും "
+        "ആഴ്ചയ്ക്കായി ഒരു ചാക്ക് അരിയും വാങ്ങി\n"
+        "തിങ്കളാഴ്ച ഓഫീസിൽ വളരെ തിരക്കായിരുന്നു പുതിയ പദ്ധതി "
+        "തുടങ്ങിയതിനാൽ യോഗത്തിന് മുമ്പ് എല്ലാവരും റിപ്പോർട്ട് വായിക്കാൻ "
+        "ആഗ്രഹിച്ചു നഗരത്തിലേക്കുള്ള തീവണ്ടി സഞ്ചികളും ഫോണുകളും പിടിച്ച "
+        "ആളുകളെക്കൊണ്ട് നിറഞ്ഞിരുന്നു ജനലിലൂടെ ഫാക്ടറികളും പാലങ്ങളും "
+        "ചാര ആകാശത്തിന് കീഴെ വീടുകളുടെ നീണ്ട നിരകളും കാണാമായിരുന്നു "
+        "ജോലി വൈകി തീർന്നു പക്ഷേ തെരുവുകൾ ഇപ്പോഴും വിളക്കുകളാലും "
+        "തുറന്ന വാതിലുകളിൽ നിന്നുള്ള സംഗീതത്താലും പ്രകാശിച്ചിരുന്നു"
+    ),
+    "si": (
+        "උදෑසන එළිය ගම මතට පැතිරෙයි ළමයි වත්තේ සෙල්ලම් කරති ඔවුන්ගේ "
+        "අම්මා වෙඬරු සහ මී පැණි සමඟ අලුත් පාන් ගෙන එයි බිත්තියේ පරණ "
+        "ඔරලෝසුව අප එකට ගත කරන පැය ගණන් කරමින් සිටියි අපි ඈත කඳුකරය "
+        "ගැන කතා කියවමු එහි ඇවිදිමින් නිස්කලංක තැනක් සොයන මිනිසුන් "
+        "ගැන ද\n"
+        "වෙළඳපොළේ ගොවියෝ ඇපල් ලූනු සහ චීස් විකුණති බේකරිකරු උණුසුම් "
+        "උඳුනට යාමට පෙර පිටි මොළය කොපමණ වේලාවක් විවේක ගත යුතුදැයි "
+        "පැහැදිලි කරයි හොඳ සුප් එකකට කාලය ලුණු සහ ටිකක් ඉවසීම අවශ්‍ය "
+        "බවත් මාළු අවශ්‍ය ප්‍රමාණයට වඩා තම්බන්න එපා බවත් ඇය කියයි අපි "
+        "බිත්තර තක්කාලි සහ සතියට සහල් මල්ලක් මිලදී ගත්තෙමු\n"
+        "සඳුදා කාර්යාලයේ වැඩ ගොඩක් තිබුණි අලුත් ව්‍යාපෘතිය ආරම්භ වූ "
+        "නිසා රැස්වීමට පෙර සියලු දෙනා වාර්තාව කියවීමට කැමති වූහ නගරයට "
+        "යන දුම්රිය බෑග් සහ දුරකථන ගත් මිනිසුන්ගෙන් පිරී තිබුණි "
+        "ජනේලයෙන් කම්හල් පාලම් සහ අළු අහස යට නිවාසවල දිගු පේළි "
+        "පෙනුණි වැඩ පමා වී අවසන් විය නමුත් වීදි තවමත් පහන් වලින් සහ "
+        "විවෘත දොරවල්වලින් එන සංගීතයෙන් ආලෝකමත් විය"
+    ),
+    "am": (
+        "የጠዋት ብርሃን በመንደሩ ላይ ይሰራጫል ልጆችም በአትክልቱ ውስጥ ይጫወታሉ እናታቸው "
+        "ቅቤና ማር ያለው ትኩስ ዳቦ ታመጣለች በግድግዳው ላይ ያለው አሮጌ ሰዓት አብረን "
+        "የምናሳልፋቸውን ሰዓታት መቁጠሩን ይቀጥላል ስለ ሩቅ ተራሮች ታሪኮችን እናነባለን "
+        "በዚያም እየተራመዱ ጸጥ ያለ ቦታ ስለሚፈልጉ ሰዎችም\n"
+        "በገበያው ውስጥ ገበሬዎች ፖም ሽንኩርትና አይብ ይሸጣሉ ዳቦ ጋጋሪው ሊጡ ወደ ሙቅ "
+        "ምድጃ ከመግባቱ በፊት ምን ያህል ጊዜ ማረፍ እንዳለበት ያስረዳል ጥሩ ሾርባ ጊዜ "
+        "ጨውና ትንሽ ትዕግስት እንደሚያስፈልገው ዓሣንም ከሚያስፈልገው በላይ ማብሰል "
+        "እንደሌለበት ትናገራለች እንቁላል ቲማቲምና ለሳምንቱ አንድ ከረጢት ሩዝ ገዛን\n"
+        "ሰኞ ቢሮ ውስጥ ብዙ ሥራ ነበር አዲሱ ፕሮጀክት ስለጀመረ ሁሉም ከስብሰባው በፊት "
+        "ሪፖርቱን ማንበብ ፈለጉ ወደ ከተማ የሚሄደው ባቡር ቦርሳና ስልክ የያዙ ሰዎች ሞልቶ "
+        "ነበር በመስኮቱ በኩል ፋብሪካዎች ድልድዮችና በግራጫ ሰማይ ስር ረጃጅም የቤቶች "
+        "ረድፎች ይታዩ ነበር ሥራው ዘግይቶ አለቀ ግን መንገዶቹ አሁንም በመብራቶችና ከተከፈቱ "
+        "በሮች በሚወጣ ሙዚቃ ብሩህ ነበሩ"
+    ),
+    "km": (
+        "ពន្លឺពេលព្រឹករាលដាលលើភូមិ ហើយក្មេងៗលេងនៅក្នុងសួន "
+        "ខណៈម្តាយរបស់ពួកគេយកនំប៉័ងថ្មីជាមួយប៊ឺនិងទឹកឃ្មុំមក "
+        "នាឡិកាចាស់នៅលើជញ្ជាំងបន្តរាប់ម៉ោងដែលយើងចំណាយជាមួយគ្នា "
+        "យើងអានរឿងអំពីភ្នំឆ្ងាយៗ "
+        "និងអំពីមនុស្សដែលដើរនៅទីនោះស្វែងរកកន្លែងស្ងប់ស្ងាត់\n"
+        "នៅផ្សារ កសិករលក់ផ្លែប៉ោម ខ្ទឹមបារាំង និងឈីស "
+        "ហើយអ្នកដុតនំពន្យល់ថា "
+        "ម្សៅត្រូវសម្រាកប៉ុន្មានមុនពេលចូលឡដុតក្តៅ នាងនិយាយថា "
+        "ស៊ុបល្អត្រូវការពេលវេលា អំបិល និងការអត់ធ្មត់បន្តិច "
+        "ហើយមិនគួរស្ងោរត្រីយូរជាងការចាំបាច់ទេ យើងបានទិញស៊ុត "
+        "ប៉េងប៉ោះ និងអង្ករមួយបាវសម្រាប់មួយសប្តាហ៍\n"
+        "ថ្ងៃចន្ទ ការិយាល័យមានការងារច្រើន "
+        "ព្រោះគម្រោងថ្មីបានចាប់ផ្តើម "
+        "ហើយគ្រប់គ្នាចង់អានរបាយការណ៍មុនកិច្ចប្រជុំ "
+        "រថភ្លើងទៅទីក្រុងពេញដោយមនុស្សកាន់កាបូបនិងទូរស័ព្ទ "
+        "តាមបង្អួចឃើញរោងចក្រ ស្ពាន "
+        "និងជួរផ្ទះវែងៗក្រោមមេឃប្រផេះ ការងារចប់យឺត "
+        "ប៉ុន្តែផ្លូវនៅតែភ្លឺដោយចង្កៀងនិងតន្ត្រីពីទ្វារបើកចំហ"
+    ),
+    "lo": (
+        "ແສງຕອນເຊົ້າແຜ່ລາມໄປທົ່ວບ້ານ ແລະເດັກນ້ອຍຫຼິ້ນຢູ່ໃນສວນ "
+        "ໃນຂະນະທີ່ແມ່ຂອງພວກເຂົາເອົາເຂົ້າຈີ່ໃໝ່ພ້ອມມັນເບີແລະນໍ້າເຜິ້ງມາ "
+        "ໂມງເກົ່າຢູ່ເທິງຝາຍັງນັບຊົ່ວໂມງທີ່ພວກເຮົາໃຊ້ຮ່ວມກັນ "
+        "ພວກເຮົາອ່ານເລື່ອງກ່ຽວກັບພູໄກໆ "
+        "ແລະກ່ຽວກັບຄົນທີ່ຍ່າງຢູ່ທີ່ນັ້ນຊອກຫາບ່ອນງຽບສະຫງົບ\n"
+        "ຢູ່ຕະຫຼາດ ຊາວນາຂາຍໝາກແອັບເປິ້ນ ຫົວຜັກບົ່ວ ແລະເນີຍແຂງ "
+        "ຜູ້ອົບເຂົ້າຈີ່ອະທິບາຍວ່າແປ້ງຕ້ອງພັກດົນປານໃດກ່ອນເຂົ້າເຕົາອົບຮ້ອນ "
+        "ລາວເວົ້າວ່າແກງດີຕ້ອງການເວລາ ເກືອ ແລະຄວາມອົດທົນໜ້ອຍໜຶ່ງ "
+        "ແລະບໍ່ຄວນຕົ້ມປາດົນກວ່າທີ່ຈຳເປັນ ພວກເຮົາຊື້ໄຂ່ ໝາກເລັ່ນ "
+        "ແລະເຂົ້າສານໜຶ່ງຖົງສຳລັບອາທິດ\n"
+        "ວັນຈັນຢູ່ຫ້ອງການມີວຽກຫຼາຍ ເພາະໂຄງການໃໝ່ໄດ້ເລີ່ມຂຶ້ນ "
+        "ແລະທຸກຄົນຢາກອ່ານບົດລາຍງານກ່ອນກອງປະຊຸມ "
+        "ລົດໄຟໄປເມືອງເຕັມໄປດ້ວຍຄົນຖືຖົງແລະໂທລະສັບ "
+        "ຜ່ານປ່ອງຢ້ຽມເຫັນໂຮງງານ ຂົວ "
+        "ແລະແຖວເຮືອນຍາວໆໃຕ້ທ້ອງຟ້າສີເທົາ ວຽກເລີກຊ້າ "
+        "ແຕ່ຖະໜົນຍັງສະຫວ່າງດ້ວຍໂຄມໄຟແລະສຽງດົນຕີຈາກປະຕູເປີດ"
+    ),
+    "my": (
+        "မနက်အလင်းရောင်သည် ရွာပေါ်သို့ ဖြန့်ကျက်လာပြီး "
+        "ကလေးများသည် ဥယျာဉ်ထဲတွင် ကစားကြသည် သူတို့၏အမေသည် "
+        "ထောပတ်နှင့် ပျားရည်ပါသော ပေါင်မုန့်အသစ်ကို ယူလာသည် "
+        "နံရံပေါ်ရှိ နာရီဟောင်းသည် ကျွန်ုပ်တို့အတူတူ "
+        "ကုန်ဆုံးသောနာရီများကို ဆက်၍ရေတွက်နေသည် ဝေးလံသော "
+        "တောင်များအကြောင်း ပုံပြင်များကို ဖတ်ကြပြီး ထိုနေရာတွင် "
+        "လမ်းလျှောက်ရင်း တိတ်ဆိတ်သောနေရာကို ရှာဖွေသူများအကြောင်းလည်း\n"
+        "ဈေးထဲတွင် လယ်သမားများသည် ပန်းသီး ကြက်သွန်နီနှင့် "
+        "ဒိန်ခဲကို ရောင်းကြသည် မုန့်ဖုတ်သူက မုန့်ညက်သည် "
+        "ပူသောမီးဖိုထဲ မဝင်မီ ဘယ်လောက်ကြာကြာ အနားယူရမည်ကို "
+        "ရှင်းပြသည် ကောင်းသောဟင်းချိုအတွက် အချိန် ဆားနှင့် "
+        "သည်းခံမှုအနည်းငယ် လိုအပ်ကြောင်း ငါးကို လိုအပ်သည်ထက် "
+        "ပိုမချက်သင့်ကြောင်း သူမပြောသည် ကျွန်ုပ်တို့သည် ကြက်ဥ "
+        "ခရမ်းချဉ်သီးနှင့် တစ်ပတ်စာ ဆန်တစ်အိတ် ဝယ်ခဲ့သည်\n"
+        "တနင်္လာနေ့တွင် ရုံး၌ အလုပ်များသည် စီမံကိန်းအသစ် "
+        "စတင်ခဲ့သောကြောင့် အစည်းအဝေးမတိုင်မီ လူတိုင်း "
+        "အစီရင်ခံစာကို ဖတ်လိုကြသည် မြို့သို့သွားသော ရထားသည် "
+        "အိတ်နှင့် ဖုန်းကိုင်ထားသူများဖြင့် ပြည့်နေသည် "
+        "ပြတင်းပေါက်မှ စက်ရုံများ တံတားများနှင့် "
+        "မီးခိုးရောင်ကောင်းကင်အောက်ရှိ အိမ်တန်းရှည်များကို "
+        "မြင်ရသည် အလုပ်သည် နောက်ကျပြီးမှ ပြီးသည် သို့သော် "
+        "လမ်းများသည် မီးအိမ်များနှင့် ပွင့်နေသောတံခါးများမှ "
+        "တေးဂီတဖြင့် လင်းနေဆဲဖြစ်သည်"
     ),
 }
 
