@@ -789,7 +789,10 @@ def q56_decoded_pixel_sum(spark, sf_dir):
                     px = multimodal.decode_png(payload)
                     fmts.append("png")
                 elif i % 3 == 1:
-                    payload = multimodal.make_gif(w, h)
+                    # alternate 4-pass interlaced row order; lossless
+                    payload = multimodal.make_gif(
+                        w, h, interlace=(i // 3) % 2 == 0
+                    )
                     px = multimodal.decode_gif(payload)
                     fmts.append("gif")
                 else:

@@ -260,6 +260,17 @@ def test_png_adam7_decode_exact():
     assert multimodal.decode_png(good[: len(good) // 2]) is None
 
 
+def test_gif_interlaced_decode_exact():
+    """GIF89a 4-pass interlacing: rows stored in pass order must scatter
+    back to exactly the source pixels."""
+    import numpy as np
+
+    for w, h in ((1, 1), (5, 3), (16, 9), (31, 17), (2, 13)):
+        px = multimodal.decode_gif(multimodal.make_gif(w, h, interlace=True))
+        assert px is not None and px.shape == (h, w, 3), (w, h)
+        assert (px[:, :, 0] == multimodal.synth_pixels(w, h)[:, :, 0]).all()
+
+
 def test_jpeg_420_decode_exact():
     """4:2:0 chroma-subsampled color JPEG — the dominant real-world shape:
     interleaved 16x16 MCUs (4 luma + Cb + Cr blocks in raster order),

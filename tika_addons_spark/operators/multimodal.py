@@ -288,10 +288,21 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def make_gif(width: int, height: int, with_pixels: bool = True) -> bytes:
+# GIF interlace row order: 4 passes with (start, step) per the GIF89a spec
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _gif_interlace_rows(height: int) -> list[int]:
+    return [y for s, d in _GIF_PASSES for y in range(s, height, d)]
+
+
+def make_gif(
+    width: int, height: int, with_pixels: bool = True, interlace: bool = False
+) -> bytes:
     """Genuine GIF89a: 256-entry grayscale palette, one image, real LZW-
     compressed index data (so reading pixels back requires a real LZW
-    decoder)."""
+    decoder). With ``interlace`` the rows are stored in the spec's 4-pass
+    order and the image descriptor's interlace flag is set."""
     import struct
 
     head = b"GIF89a" + struct.pack("<HH", width, height)
@@ -299,8 +310,12 @@ def make_gif(width: int, height: int, with_pixels: bool = True) -> bytes:
         return head + b"\x00\x00\x00;"
     palette = bytes(v for i in range(256) for v in (i, i, i))
     out = head + struct.pack("<BBB", 0xF7, 0, 0) + palette  # global table, 256
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    indexes = synth_pixels(width, height)[:, :, 0].reshape(-1).tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += b"\x40" if interlace else b"\x00"
+    px = synth_pixels(width, height)[:, :, 0]
+    if interlace:
+        px = px[_gif_interlace_rows(height)]
+    indexes = px.reshape(-1).tobytes()
     min_code = 8
     lzw = _lzw_encode(indexes, min_code)
     out += bytes([min_code])
@@ -436,7 +451,7 @@ def decode_gif(payload: bytes) -> "np.ndarray | None":
                         b[pos : pos + size * 3], dtype=np.uint8
                     ).reshape(size, 3)
                     pos += size * 3
-                if ipacked & 0x40 or palette is None:  # interlaced: skip
+                if palette is None:
                     return None
                 min_code = b[pos]
                 pos += 1
@@ -450,7 +465,12 @@ def decode_gif(payload: bytes) -> "np.ndarray | None":
                 )
                 if len(idx) != iw * ih:
                     return None
-                return palette[idx.reshape(ih, iw) % len(palette)].astype(np.uint8)
+                rows = idx.reshape(ih, iw)
+                if ipacked & 0x40:  # interlaced: stored in 4-pass order
+                    out = np.empty_like(rows)
+                    out[_gif_interlace_rows(ih)] = rows
+                    rows = out
+                return palette[rows % len(palette)].astype(np.uint8)
             elif block == 0x3B:
                 return None
             else:
