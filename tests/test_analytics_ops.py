@@ -413,3 +413,24 @@ def test_stream_extract_incremental(spark, tmp_path):
     q2 = stream_extract(spark, str(src) + "/*", out, ck)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(pdf)
+
+
+def test_wav_16bit_stereo_roundtrip():
+    """PCM envelope breadth: 16-bit signed samples and interleaved stereo
+    must decode losslessly (16-bit values are exact multiples of 1/128 of
+    the 8-bit waveform; stereo de-interleaves to (n, 2))."""
+    import numpy as np
+
+    s8, _ = multimodal.decode_wav(multimodal.make_wav(250, bits=8))
+    s16, _ = multimodal.decode_wav(multimodal.make_wav(250, bits=16))
+    assert np.allclose(s8, s16, atol=1 / 32768)
+    st, rate = multimodal.decode_wav(
+        multimodal.make_wav(250, bits=16, channels=2)
+    )
+    assert st.shape == (2000, 2) and rate == 8000
+    # channel 1 is the base waveform phase-shifted by 64 samples
+    assert np.allclose(st[: 2000 - 64, 1], st[64:, 0])
+    h = multimodal.parse_media_header(
+        multimodal.make_wav(1500, bits=16, channels=2)
+    )
+    assert h["duration_ms"] == 1500

@@ -1087,14 +1087,33 @@ def make_jpeg_progressive(width: int, height: int, base: int | None = None) -> b
     )
 
 
-def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
-    """Genuine RIFF/WAVE, mono 8-bit PCM, deterministic sine-ish samples."""
+def make_wav(
+    duration_ms: int,
+    sample_rate: int = 8000,
+    bits: int = 8,
+    channels: int = 1,
+) -> bytes:
+    """Genuine RIFF/WAVE PCM, deterministic sine-ish samples. 8-bit
+    (unsigned) or 16-bit (signed LE), mono or interleaved multi-channel
+    (channel c is the base waveform phase-shifted by 64·c samples)."""
     import struct
 
-    byte_rate = sample_rate * 1 * 1  # mono, 8-bit
-    n = int(round(duration_ms * byte_rate / 1000))
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 1, 8)
-    data = synth_samples(n).tobytes()
+    bytes_per = bits // 8
+    block_align = channels * bytes_per
+    byte_rate = sample_rate * block_align
+    n = int(round(duration_ms * sample_rate / 1000))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    chans = [
+        synth_samples(n + 64 * c)[64 * c :].astype(np.int64)
+        for c in range(channels)
+    ]
+    inter = np.stack(chans, axis=-1).reshape(-1)  # interleave
+    if bits == 8:
+        data = inter.astype(np.uint8).tobytes()
+    else:
+        data = (((inter - 128) * 256).astype("<i2")).tobytes()
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -1593,22 +1612,24 @@ def _png_unfilter(line, prev, ftype: int, bpp: int):
 
 def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
     """(samples float64 in [-1, 1], sample_rate) for PCM 8/16-bit WAVE,
-    else None. Never raises."""
+    else None; mono returns shape (n,), multi-channel de-interleaves to
+    (n, channels). Never raises."""
     try:
         b = payload
         if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
             return None
-        pos, rate, bits, data = 12, None, None, None
+        pos, rate, bits, nch, data = 12, None, None, 1, None
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
             csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
             if cid == b"fmt ":
+                nch = int.from_bytes(b[pos + 10 : pos + 12], "little")
                 rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
                 bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
             elif cid == b"data":
                 data = b[pos + 8 : pos + 8 + csz]
             pos += 8 + csz + (csz & 1)
-        if rate is None or data is None:
+        if rate is None or data is None or nch < 1:
             return None
         if bits == 8:
             samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128
@@ -1618,6 +1639,8 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
             ).astype(np.float64) / 32768
         else:
             return None
+        if nch > 1:
+            samples = samples[: len(samples) // nch * nch].reshape(-1, nch)
         return samples, rate
     except Exception:
         return None
