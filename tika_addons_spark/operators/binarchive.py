@@ -22,7 +22,13 @@ entropy coding — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded headers),
 with coder chains outside that set (BCJ/AES) surfacing as ``unsupported``
 status rows. rar/lz4 remain detected-but-not-unpacked (``unsupported``) —
 whether nested OR at the root — mirroring how the reference logs-and-skips
-formats its PackageParser build lacks.
+formats its PackageParser build lacks. This is the DELIBERATE end state
+for rar, not a gap-in-progress: RAR's compression is a proprietary format
+with no public specification (the unrar sources carry a no-reimplementation
+license), so a from-scratch decoder is off the table for this repo's
+public-knowledge-only constraint; clean detection + a typed status row is
+the correct taxonomy, exactly as the reference's logs show for parsers
+absent from its build.
 
 Decompression-bomb posture (this kernel runs on arbitrary base64 data-URI
 turn bytes): three independent caps, each degrading to a status row rather
