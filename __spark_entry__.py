@@ -935,6 +935,49 @@ def q59_extract_planted(spark, sf_dir):
     ).orderBy("conv_id")
 
 
+def q60_langid_planted(spark, sf_dir):
+    # The probing trigram detector (q44's planted twin — the last
+    # rows-only query without one): per doc, the text is the first 300
+    # chars of the seed paragraph for language langs[doc_id % 64], so the
+    # detector's top-1 must equal the planted language on every doc (all
+    # 64 seeds self-detect at 300 chars — pinned in tests). DuckDB
+    # predicts the per-language doc counts from doc_id arithmetic without
+    # running any model; the hit counter makes a single regressed
+    # language break the hash. Runs the REAL mapInPandas probing path
+    # (chunked probes, early stop) end-to-end.
+    from tika_addons_spark.functions import langid as _lg
+
+    langs = sorted(_lg.LANG_SAMPLES)
+    seeds = [_lg.LANG_SAMPLES[lang][:300] for lang in langs]
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    idx = (F.col("doc_id") % len(langs)).cast("int") + 1
+    planted = d.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(s) for s in seeds]), idx).alias("text"),
+    )
+    det = _lg.detect_languages_df(planted, "doc_id", "text")
+    expected = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        (F.col("id") % len(langs)).cast("int") + 1,
+    )
+    return (
+        det.select(
+            expected.alias("lang"),
+            F.element_at("langs", 1).getField("lang").alias("top1"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("top1") == F.col("lang")).cast("long"))
+            .cast("long")
+            .alias("n_top1_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q53_simhash_planted_pairs(spark, sf_dir):
     # SimHash pigeonhole candidate machinery under a closed-form oracle:
     # identical planted texts → identical 64-bit simhash → every block
@@ -1437,7 +1480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_value_histogram": q29_value_histogram,
         "q35_macro_averaged_stats": q35_macro_averaged_stats,
         "q36_oov_stats": q36_oov_stats,
-        "q37_grouping_sets": q37_grouping_sets,
         "q38_embedding_near_dup": q38_embedding_near_dup,
         "q39_sessionization": q39_sessionization,
         "q34_media_features": q34_media_features,
@@ -1455,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_bomb_taxonomy": q57_bomb_taxonomy,
         "q58_ivf_planted": q58_ivf_planted,
         "q59_extract_planted": q59_extract_planted,
+        "q60_langid_planted": q60_langid_planted,
         "q48_lang_grid": q48_lang_grid,
         "q45_stacktrace_facets": q45_stacktrace_facets,
         "q46_extension_fix_audit": q46_extension_fix_audit,
@@ -1467,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `no_oracle`) last.
         "q26_time_bucketing": q26_time_bucketing,
         "q27_json_props": q27_json_props,
+        "q37_grouping_sets": q37_grouping_sets,
         "q30_extract_documents": q30_extract_documents,
         "q31_minhash_lsh": q31_minhash_lsh,
         "q32_simhash_pairs": q32_simhash_pairs,
@@ -2264,6 +2308,28 @@ def _q46_oracle() -> str:
 
 
 _ORACLES["q46_extension_fix_audit"] = _q46_oracle()
+
+
+def _q60_oracle() -> str:
+    # language list injected from the single source of truth (sorted
+    # LANG_SAMPLES keys), so adding a future seed tranche updates both
+    # sides of the check in lockstep; every planted doc must be a top-1
+    # hit, so n_top1_correct == n_docs by construction.
+    from tika_addons_spark.functions.langid import LANG_SAMPLES
+
+    langs = sorted(LANG_SAMPLES)
+    arr = ", ".join(f"'{lang}'" for lang in langs)
+    return f"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_top1_correct
+        FROM (SELECT list_extract([{arr}], (doc_id % {len(langs)})::INT + 1)
+                  AS lang
+              FROM documents)
+        GROUP BY lang ORDER BY lang
+    """
+
+
+_ORACLES["q60_langid_planted"] = _q60_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

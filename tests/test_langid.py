@@ -329,3 +329,12 @@ def test_spark_surface(spark):
     assert out[2][0].lang == "de"
     assert out[3][0].lang == "und"
     assert len(out[1]) <= 3
+
+
+def test_seed_prefixes_self_detect():
+    """q60's planted-oracle premise: the first 300 chars of EVERY seed
+    paragraph must top-1 detect as their own language — a future tranche
+    that breaks this fails here before the driver's hash check does."""
+    for lang in sorted(langid.LANG_SAMPLES):
+        got = langid.detect_languages(langid.LANG_SAMPLES[lang][:300])[0][0]
+        assert got == lang, (lang, got)
