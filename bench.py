@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     # earlier rounds without subtracting these — per-query numbers are)
     "q52_sevenz_rollup",
     "q56_decoded_pixel_sum",
+    # round-5 planted oracles (same caveat)
+    "q59_extract_planted",
+    "q60_langid_planted",
 ]
 
 # rates keep climbing for ~6 passes on a cold JVM (codegen JIT + Python

@@ -338,3 +338,39 @@ def test_seed_prefixes_self_detect():
     for lang in sorted(langid.LANG_SAMPLES):
         got = langid.detect_languages(langid.LANG_SAMPLES[lang][:300])[0][0]
         assert got == lang, (lang, got)
+
+
+def test_fast_scorer_matches_reference():
+    """detect_languages_fast (the numpy production scorer behind the Spark
+    surface) must make IDENTICAL decisions to the pure-Python probing
+    spec: same top-1, same ranking wherever confidences are
+    distinguishable, confidences within 1e-9 — over held-out sentences,
+    seeds, truncations, repeats, noise, and degenerate inputs."""
+    import random
+
+    rng = random.Random(3)
+
+    def noisy(s, p):
+        return "".join(
+            chr(ord(c) + 1) if (c.isalpha() and rng.random() < p) else c
+            for c in s
+        )
+
+    cases = []
+    for d in (HELDOUT, HELDOUT_HARD):
+        for ss in d.values():
+            cases += ss
+    for seed in langid.LANG_SAMPLES.values():
+        cases += [seed, seed[:300], seed[:40], seed * 3]
+    cases += [noisy(c, 0.3) for c in cases[:100]]
+    cases += ["", None, "12345 67890", "    ", "a"]
+    for c in cases:
+        a = langid.detect_languages(c)
+        b = langid.detect_languages_fast(c)
+        assert a[0][0] == b[0][0], (repr(c)[:50], a[0], b[0])
+        for (la, ca), (lb, cb) in zip(a, b):
+            assert abs(ca - cb) <= 1e-9, (repr(c)[:50], la, ca, lb, cb)
+        # ranking must agree wherever adjacent confs are distinguishable
+        for i in range(len(a) - 1):
+            if a[i][1] - a[i + 1][1] > 1e-12:
+                assert a[i][0] == b[i][0], (repr(c)[:50], i, a[i], b[i])

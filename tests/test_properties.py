@@ -276,3 +276,21 @@ def test_jpeg_decoder_total_on_garbage(data):
     assert mm.decode_jpeg(data) is None or data[:2] == b"\xff\xd8"
     out = mm.decode_jpeg(b"\xff\xd8\xff" + data)
     assert out is None or out.ndim == 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_progressive_decoder_total_on_mutation(pos, byte):
+    """Mutation fuzz over a VALID progressive stream: flipping any single
+    byte must yield a decoded array or None — never an exception. This
+    walks the multi-scan decoder through near-valid headers, scan tables
+    and entropy segments that pure-garbage fuzz rarely reaches."""
+    from tika_addons_spark.operators import multimodal as mm
+
+    base = bytearray(mm.make_jpeg_420(32, 32, gradient=True, progressive=True))
+    base[pos % len(base)] = byte
+    out = mm.decode_jpeg(bytes(base))
+    assert out is None or (out.ndim == 3 and out.dtype.name == "uint8")
