@@ -1412,11 +1412,12 @@ def q51_lsh_planted_pairs(spark, sf_dir):
 
 def q34_media_features(spark, sf_dir):
     # Multimodal with a REAL kernel and a REAL oracle: deterministic
-    # PNG/GIF/JPEG/WAV bytes are synthesized per doc_id (public byte
-    # layouts), then the header parser reads type/dims/duration back from
-    # the bytes. Every output is a closed-form function of doc_id, so
-    # DuckDB can predict it without parsing — the engine must actually
-    # parse its own bytes correctly to match.
+    # PNG/GIF/JPEG/WAV/MP4 bytes are synthesized per doc_id (public byte
+    # layouts; MP4 = a genuine ISO-BMFF box tree, round 5), then the
+    # header parser reads type/dims/duration back from the bytes. Every
+    # output is a closed-form function of doc_id, so DuckDB can predict
+    # it without parsing — the engine must actually parse its own bytes
+    # correctly to match.
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1426,15 +1427,19 @@ def q34_media_features(spark, sf_dir):
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                k = i % 4
+                k = i % 5
                 if k == 0:
                     p = multimodal.make_png(16 + i % 32, 8 + i % 16)
                 elif k == 1:
                     p = multimodal.make_gif(10 + i % 20, 5 + i % 10)
                 elif k == 2:
                     p = multimodal.make_jpeg(32 + i % 64, 16 + i % 32)
-                else:
+                elif k == 3:
                     p = multimodal.make_wav(100 + (i % 50) * 10)
+                else:
+                    p = multimodal.make_mp4(
+                        500 + (i % 40) * 25, 64 + i % 128, 48 + i % 96
+                    )
                 payloads.append(p)
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
@@ -1972,18 +1977,22 @@ _ORACLES: dict[str, str] = {
     """,
     "q34_media_features": """
         SELECT doc_id AS media_id,
-               CASE doc_id % 4 WHEN 0 THEN 'image/png'
+               CASE doc_id % 5 WHEN 0 THEN 'image/png'
                                WHEN 1 THEN 'image/gif'
                                WHEN 2 THEN 'image/jpeg'
-                               ELSE 'audio/wav' END AS media_type,
-               (CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 32
+                               WHEN 3 THEN 'audio/wav'
+                               ELSE 'video/mp4' END AS media_type,
+               (CASE doc_id % 5 WHEN 0 THEN 16 + doc_id % 32
                                 WHEN 1 THEN 10 + doc_id % 20
-                                WHEN 2 THEN 32 + doc_id % 64 END)::INT AS width,
-               (CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 16
+                                WHEN 2 THEN 32 + doc_id % 64
+                                WHEN 4 THEN 64 + doc_id % 128 END)::INT AS width,
+               (CASE doc_id % 5 WHEN 0 THEN 8 + doc_id % 16
                                 WHEN 1 THEN 5 + doc_id % 10
-                                WHEN 2 THEN 16 + doc_id % 32 END)::INT AS height,
-               (CASE WHEN doc_id % 4 = 3
-                     THEN 100 + (doc_id % 50) * 10 END)::BIGINT AS duration_ms
+                                WHEN 2 THEN 16 + doc_id % 32
+                                WHEN 4 THEN 48 + doc_id % 96 END)::INT AS height,
+               (CASE doc_id % 5 WHEN 3 THEN 100 + (doc_id % 50) * 10
+                                WHEN 4 THEN 500 + (doc_id % 40) * 25
+                END)::BIGINT AS duration_ms
         FROM documents ORDER BY media_id
     """,
     "q43_link_harvest": """

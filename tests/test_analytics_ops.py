@@ -434,3 +434,21 @@ def test_wav_16bit_stereo_roundtrip():
         multimodal.make_wav(1500, bits=16, channels=2)
     )
     assert h["duration_ms"] == 1500
+
+
+def test_mp4_header_roundtrip():
+    """Video typed-metadata path: make_mp4 emits a genuine ISO-BMFF box
+    tree (ftyp + moov(mvhd, trak(tkhd)) + mdat); parse_media_header walks
+    the boxes for duration (mvhd timescale-normalized) and 16.16
+    fixed-point dimensions. Truncated/garbage keeps the type with null
+    fields and never raises."""
+    h = multimodal.parse_media_header(multimodal.make_mp4(1234, 640, 480))
+    assert h == {"media_type": "video/mp4", "width": 640, "height": 480,
+                 "duration_ms": 1234}
+    h = multimodal.parse_media_header(multimodal.make_mp4(500))
+    assert h["duration_ms"] == 500 and h["width"] is None
+    good = multimodal.make_mp4(1000, 64, 48)
+    for bad in (good[:20], b"\x00\x00\x00 ftypgarbage", good[:9]):
+        h = multimodal.parse_media_header(bad)
+        assert h["media_type"] == "video/mp4"
+        assert h["width"] is None and h["duration_ms"] is None

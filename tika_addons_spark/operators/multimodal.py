@@ -131,6 +131,41 @@ def parse_media_header(payload: bytes | None) -> dict:
                     pos += 2
                     continue
                 pos += 2 + int.from_bytes(b[pos + 2 : pos + 4], "big")
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            # ISO-BMFF box walk: moov → mvhd (timescale/duration, v0+v1)
+            # and moov → trak → tkhd (16.16 fixed-point dimensions)
+            def walk(lo: int, hi: int):
+                p = lo
+                while p + 8 <= hi:
+                    size = int.from_bytes(b[p : p + 4], "big")
+                    if size < 8 or p + size > hi:
+                        break
+                    yield b[p + 4 : p + 8], p + 8, p + size
+                    p += size
+
+            for t, lo, hi in walk(0, len(b)):
+                if t != b"moov":
+                    continue
+                for t2, lo2, hi2 in walk(lo, hi):
+                    if t2 == b"mvhd" and hi2 - lo2 >= 20:
+                        ver = b[lo2]
+                        if ver == 0:
+                            ts = int.from_bytes(b[lo2 + 12 : lo2 + 16], "big")
+                            dur = int.from_bytes(b[lo2 + 16 : lo2 + 20], "big")
+                        else:
+                            ts = int.from_bytes(b[lo2 + 20 : lo2 + 24], "big")
+                            dur = int.from_bytes(b[lo2 + 24 : lo2 + 32], "big")
+                        if ts:
+                            out["duration_ms"] = int(round(dur * 1000 / ts))
+                    elif t2 == b"trak":
+                        for t3, lo3, hi3 in walk(lo2, hi2):
+                            if t3 == b"tkhd" and hi3 - lo3 >= 84:
+                                off = lo3 + (76 if b[lo3] == 0 else 88)
+                                w16 = int.from_bytes(b[off : off + 4], "big")
+                                h16 = int.from_bytes(b[off + 4 : off + 8], "big")
+                                if w16 and h16:
+                                    out["width"] = w16 >> 16
+                                    out["height"] = h16 >> 16
         elif b.startswith(b"RIFF") and b[8:12] == b"WAVE":
             # walk chunks: fmt_ gives byte rate, data gives payload size
             pos, byte_rate, data_size = 12, None, None
@@ -249,6 +284,54 @@ def make_png(
         out += _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
     out += _png_chunk(b"IEND", b"")
     return out
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+_MP4_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 8
+    + b"\x00" * 4 + b"\x00\x01\x00\x00" + b"\x00" * 4
+    + b"\x00" * 8 + b"\x40\x00\x00\x00"
+)
+
+
+def make_mp4(duration_ms: int, width: int = 0, height: int = 0) -> bytes:
+    """Genuine minimal ISO-BMFF (MP4) box tree: ftyp + moov(mvhd v0 with
+    timescale 1000 so duration units ARE milliseconds, trak(tkhd v0 with
+    16.16 fixed-point dimensions)) + empty mdat. The video analogue of
+    the other synthesizers — real public byte layout, no codec payload
+    (sample tables are not needed for the metadata kernel)."""
+    import struct
+
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"
+    )
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                  # version 0 + flags
+        + struct.pack(">II", 0, 0)           # ctime, mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + struct.pack(">I", 0x00010000)      # rate 1.0
+        + struct.pack(">H", 0x0100)          # volume 1.0
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),              # next track id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"                  # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)           # ctime, mtime
+        + struct.pack(">I", 1) + b"\x00" * 4  # track id, reserved
+        + struct.pack(">I", duration_ms) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)   # layer, group, volume, rsvd
+        + _MP4_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return ftyp + moov + _mp4_box(b"mdat", b"")
 
 
 def synth_pixels(width: int, height: int) -> "np.ndarray":
