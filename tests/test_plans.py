@@ -212,3 +212,28 @@ def test_exact_duplicates_single_exchange(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_of(dedup.exact_duplicates(d, "doc_id", "text"))
     assert p.count("Exchange") == 1, p
+
+
+def test_q59_extract_planted_single_python_stage(spark):
+    """q59 (extraction planted oracle): text synthesis is pure JVM column
+    concat feeding ONE Python (mapInArrow) stage — exactly one Exchange
+    (the deliberate spread repartition), no cartesian, and the sha256
+    reduction stays JVM-side."""
+    df = entry.q59_extract_planted(spark, SF)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    n_python = p.count("MapInArrow") + p.count("MapInPandas")
+    assert n_python == 1, p
+    # repartition + orderBy range exchange only
+    assert p.count("Exchange") <= 2, p
+
+
+def test_q60_langid_planted_single_python_stage(spark):
+    """q60 (trigram detector planted oracle): seed-prefix synthesis is an
+    element_at over a literal array (JVM-side); detection is ONE
+    mapInPandas stage; the per-language rollup is a partial-agg shuffle."""
+    df = entry.q60_langid_planted(spark, SF)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert p.count("MapInPandas") + p.count("MapInArrow") == 1, p
+    assert "partial" in p.lower(), p  # map-side combine before the shuffle
