@@ -197,6 +197,23 @@ HELDOUT_HARD = {
            "ທ່ານໝໍບອກລາວໃຫ້ພັກຜ່ອນໜຶ່ງອາທິດ ແລະດື່ມນໍ້າຫຼາຍໆ"],
     "my": ["ညအခါ ကြယ်များသည် အေးသောတောင်များပေါ်တွင် တောက်ပစွာ လင်းနေပြီး အိပ်ပျော်သည်အထိ ကျွန်ုပ်တို့ ရေတွက်နေခဲ့သည်",
            "ဆရာဝန်က သူ့ကို တစ်ပတ် အနားယူပြီး ရေများများသောက်ရန် ပြောသည်"],
+    # round-5 tranche 3
+    "eu": ["gauez izarrak distiratsu zeuden mendi hotzen gainean eta lokartu arte zenbatu genituen",
+           "medikuak aste batez atseden hartzeko eta ur asko edateko esan zion"],
+    "cy": ["yn y nos roedd y sêr yn disgleirio'n llachar uwchben y mynyddoedd oer a buom yn eu cyfrif nes i ni gysgu",
+           "dywedodd y meddyg wrtho am orffwys am wythnos ac yfed digon o ddŵr"],
+    "ga": ["san oíche bhí na réaltaí ag lonrú go geal os cionn na sléibhte fuara agus chomhaireamar iad go dtí gur thit ár gcodladh orainn",
+           "dúirt an dochtúir leis scíth a ligean ar feadh seachtaine agus go leor uisce a ól"],
+    "mt": ["bil-lejl il-kwiekeb kienu jiddu fuq il-muntanji kesħin u għaddejna ngħodduhom sakemm rqadna",
+           "it-tabib qallu jistrieħ ġimgħa u jixrob ħafna ilma"],
+    "uz": ["kechasi yulduzlar sovuq tog'lar ustida yorqin porlar edi va biz uxlab qolguncha ularni sanadik",
+           "shifokor unga bir hafta dam olishni va ko'p suv ichishni aytdi"],
+    "mn": ["шөнө одод хүйтэн уулсын дээгүүр тод гэрэлтэж байсан бөгөөд бид унтах хүртлээ тэднийг тоолсон",
+           "эмч түүнд долоо хоног амарч их ус уухыг хэлсэн"],
+    "tl": ["sa gabi maliwanag na kumikinang ang mga bituin sa ibabaw ng malalamig na bundok at binilang namin ang mga ito hanggang sa makatulog kami",
+           "sinabi ng doktor na magpahinga siya ng isang linggo at uminom ng maraming tubig"],
+    "ha": ["da dare taurari suna haskakawa sosai a kan duwatsu masu sanyi kuma muka kirga su har muka yi barci",
+           "likita ya ce masa ya huta mako guda kuma ya sha ruwa da yawa"],
 }
 
 

@@ -42,7 +42,8 @@ MIN_DIFF = 0.20
 PROBE_EVERY = 110
 
 # ---------------------------------------------------------------------------
-# seed corpora — authored multi-paragraph text per language, 64 languages
+# seed corpora — authored multi-paragraph text per language, 72 languages
+# (meeting the reference's 70+ OpenNLP model breadth)
 # (self-contained, written for this repo; no external data). Each language
 # gets three paragraphs on DIFFERENT topics (village morning / market and
 # cooking / city work and travel) so the trigram tables are not fit to one
@@ -1211,6 +1212,177 @@ LANG_SAMPLES: dict[str, str] = {
         "မြင်ရသည် အလုပ်သည် နောက်ကျပြီးမှ ပြီးသည် သို့သော် "
         "လမ်းများသည် မီးအိမ်များနှင့် ပွင့်နေသောတံခါးများမှ "
         "တေးဂီတဖြင့် လင်းနေဆဲဖြစ်သည်"
+    ),
+    # --- round-5 tranche 3: 8 further languages, crossing the
+    # reference's 70+ breadth (eu is a European isolate; cy/ga add
+    # Celtic; mt is Semitic in Latin script; uz/mn extend Turkic/Mongolic
+    # incl. another Cyrillic neighbor; tl adds Austronesian next to id;
+    # ha adds Chadic) ---
+    "eu": (
+        "goizeko argia herriaren gainean zabaltzen da eta haurrak "
+        "lorategian jolasten dira amak ogi freskoa gurinarekin eta "
+        "eztiarekin dakarren bitartean hormako erloju zaharrak elkarrekin "
+        "igarotzen ditugun orduak zenbatzen jarraitzen du urrutiko "
+        "mendiei buruzko istorioak irakurtzen ditugu eta bertan leku "
+        "lasai baten bila dabiltzan pertsonei buruzkoak ere\n"
+        "azokan nekazariek sagarrak tipulak eta gazta saltzen dituzte "
+        "eta okinak azaltzen du oreak zenbat denbora atseden hartu behar "
+        "duen labe berora sartu baino lehen zopa on batek denbora gatza "
+        "eta pazientzia pixka bat behar dituela dio eta arraina ez dela "
+        "behar baino gehiago egosi behar arrautzak tomateak eta asterako "
+        "arroz zaku bat erosi genituen\n"
+        "astelehenean lan asko zegoen bulegoan proiektu berria hasi "
+        "zelako eta denek txostena irakurri nahi zuten bilera baino "
+        "lehen hirirako trena poltsak eta telefonoak zeramatzaten "
+        "pertsonez beteta zegoen leihotik lantegiak zubiak eta etxe "
+        "ilara luzeak ikusten ziren zeru grisaren azpian lana berandu "
+        "amaitu zen baina kaleak oraindik argiz eta ate irekietako "
+        "musikaz beteta zeuden"
+    ),
+    "cy": (
+        "mae golau'r bore yn lledaenu dros y pentref ac mae'r plant yn "
+        "chwarae yn yr ardd tra bo'u mam yn dod â bara ffres gyda menyn "
+        "a mêl mae'r hen gloc ar y wal yn dal i gyfrif yr oriau rydym "
+        "yn eu treulio gyda'n gilydd yn darllen straeon am fynyddoedd "
+        "pell ac am y bobl sy'n cerdded drwyddynt yn chwilio am le "
+        "tawel\n"
+        "yn y farchnad mae'r ffermwyr yn gwerthu afalau nionod a chaws "
+        "ac mae'r pobydd yn esbonio pa mor hir y dylai'r toes orffwys "
+        "cyn mynd i'r popty poeth mae hi'n dweud bod angen amser halen "
+        "ac ychydig o amynedd ar gawl da ac na ddylid coginio pysgod yn "
+        "hirach nag sydd angen prynon ni wyau tomatos a sach o reis am "
+        "yr wythnos\n"
+        "roedd hi'n brysur yn y swyddfa ddydd llun oherwydd bod y "
+        "prosiect newydd wedi dechrau ac roedd pawb eisiau darllen yr "
+        "adroddiad cyn y cyfarfod roedd y trên i'r ddinas yn llawn o "
+        "bobl gyda bagiau a ffonau a thrwy'r ffenestr gallech weld "
+        "ffatrïoedd pontydd a rhesi hir o dai o dan awyr lwyd gorffennodd "
+        "y gwaith yn hwyr ond roedd y strydoedd yn dal yn olau gyda "
+        "lampau a cherddoriaeth o'r drysau agored"
+    ),
+    "ga": (
+        "leathnaíonn solas na maidine thar an sráidbhaile agus bíonn na "
+        "páistí ag súgradh sa ghairdín fad a thugann a máthair arán úr "
+        "le him agus mil leéi coinníonn an seanchlog ar an mballa ag "
+        "comhaireamh na n-uaireanta a chaithimid le chéile ag léamh "
+        "scéalta faoi shléibhte i bhfad i gcéin agus faoi na daoine a "
+        "shiúlann tríothu ag lorg áite ciúine\n"
+        "ag an margadh díolann na feirmeoirí úlla oinniúin agus cáis "
+        "agus míníonn an báicéir cá fhad a chaithfidh an taos "
+        "scíth a ligean sula dtéann sé isteach san oigheann te deir sí "
+        "go dteastaíonn am salann agus beagán foighne ó anraith maith "
+        "agus nár cheart iasc a bhruith níos faide ná mar is gá "
+        "cheannaíomar uibheacha trátaí agus mála ríse don tseachtain\n"
+        "bhí an oifig gnóthach dé luain mar gur thosaigh an tionscadal "
+        "nua agus theastaigh ó gach duine an tuarascáil a léamh roimh an "
+        "gcruinniú bhí an traein go dtí an chathair lán de dhaoine le "
+        "málaí agus fóin agus tríd an bhfuinneog d'fheicfeá monarchana "
+        "droichid agus sraitheanna fada tithe faoi spéir liath chríochnaigh "
+        "an obair go déanach ach bhí na sráideanna fós geal le lampaí "
+        "agus ceol ó na doirse oscailte"
+    ),
+    "mt": (
+        "id-dawl ta filgħodu jinfirex fuq ir-raħal u t-tfal jilagħbu "
+        "fil-ġnien waqt li ommhom iġġib ħobż frisk bil-butir u l-għasel "
+        "l-arloġġ il-qadim fuq il-ħajt jibqa jgħodd is-sigħat li "
+        "inqattgħu flimkien naqraw stejjer dwar muntanji mbiegħda u dwar "
+        "in-nies li jimxu fihom ifittxu post kwiet\n"
+        "fis-suq il-bdiewa jbigħu tuffieħ basal u ġobon u l-furnar "
+        "jispjega kemm għandha tistrieħ l-għaġina qabel ma tidħol "
+        "fil-forn sħun hija tgħid li soppa tajba teħtieġ ħin melħ u "
+        "ftit paċenzja u li l-ħut m'għandux jissajjar aktar milli hemm "
+        "bżonn xtrajna bajd tadam u xkora ross għall-ġimgħa\n"
+        "it-tnejn kien hemm ħafna xogħol fl-uffiċċju għax il-proġett "
+        "il-ġdid kien beda u kulħadd ried jaqra r-rapport qabel "
+        "il-laqgħa l-ferrovija lejn il-belt kienet mimlija nies "
+        "bil-basktijiet u t-telefowns u mit-tieqa stajt tara fabbriki "
+        "pontijiet u ringieli twal ta djar taħt sema griż ix-xogħol "
+        "spiċċa tard imma t-toroq kienu għadhom imdawlin bil-lampi u "
+        "bil-mużika mill-bibien miftuħa"
+    ),
+    "uz": (
+        "tong yorug'i qishloq ustiga yoyiladi va bolalar bog'da "
+        "o'ynaydilar onalari esa sariyog' va asal bilan yangi non olib "
+        "keladi devordagi eski soat birga o'tkazadigan soatlarimizni "
+        "sanashda davom etadi biz uzoq tog'lar haqida va u yerlarda "
+        "tinch joy izlab yuradigan odamlar haqida hikoyalar o'qiymiz\n"
+        "bozorda dehqonlar olma piyoz va pishloq sotadilar novvoy "
+        "xamir issiq tandirga kirishidan oldin qancha dam olishi "
+        "kerakligini tushuntiradi u yaxshi sho'rvaga vaqt tuz va ozgina "
+        "sabr kerakligini aytadi baliqni keragidan ortiq pishirmaslik "
+        "kerak biz tuxum pomidor va haftaga bir qop guruch sotib oldik\n"
+        "dushanba kuni idorada ish ko'p edi chunki yangi loyiha "
+        "boshlangan edi va hamma yig'ilishdan oldin hisobotni o'qishni "
+        "xohlar edi shaharga boradigan poyezd sumka va telefon ushlagan "
+        "odamlarga to'la edi derazadan zavodlar ko'priklar va kulrang "
+        "osmon ostidagi uzun uy qatorlari ko'rinib turardi ish kech "
+        "tugadi lekin ko'chalar hali ham chiroqlar va ochiq eshiklardan "
+        "kelayotgan musiqa bilan yorug' edi"
+    ),
+    "mn": (
+        "өглөөний гэрэл тосгон дээгүүр тархаж хүүхдүүд цэцэрлэгт "
+        "тоглож байхад ээж нь цөцгийн тос зөгийн балтай шинэ талх "
+        "авчирдаг хананд байгаа хуучин цаг бидний хамт өнгөрүүлдэг "
+        "цагуудыг тоолсоор байдаг бид алс холын уулсын тухай түүхүүд "
+        "уншиж тэнд алхаж нам гүм газар хайдаг хүмүүсийн тухай ч "
+        "уншдаг\n"
+        "зах дээр тариачид алим сонгино бяслаг зардаг талх нарийн "
+        "боовны хүн зуурсан гурил халуун зууханд орохоосоо өмнө хэр "
+        "удаан амрах ёстойг тайлбарладаг тэр сайн шөлөнд цаг хугацаа "
+        "давс бага зэрэг тэвчээр хэрэгтэй гэж хэлдэг загасыг "
+        "шаардлагатайгаас удаан чанаж болохгүй бид өндөг улаан лооль "
+        "долоо хоногт зориулж нэг шуудай будаа худалдаж авсан\n"
+        "даваа гарагт шинэ төсөл эхэлсэн болохоор оффис дээр ажил их "
+        "байсан бүгд хурлаас өмнө тайланг уншихыг хүссэн хот руу явах "
+        "галт тэрэг цүнх утас барьсан хүмүүсээр дүүрэн байсан цонхоор "
+        "үйлдвэрүүд гүүрнүүд саарал тэнгэрийн доорх урт байшингийн "
+        "эгнээ харагдаж байсан ажил оройтож дууссан ч гудамжууд гэрэл "
+        "болон онгорхой хаалганаас гарах хөгжмөөр гэрэлтсээр байсан"
+    ),
+    "tl": (
+        "kumakalat ang liwanag ng umaga sa nayon at naglalaro ang mga "
+        "bata sa hardin habang nagdadala ang kanilang ina ng sariwang "
+        "tinapay na may mantikilya at pulot patuloy na binibilang ng "
+        "lumang orasan sa dingding ang mga oras na magkasama nating "
+        "ginugugol nagbabasa tayo ng mga kuwento tungkol sa malalayong "
+        "bundok at sa mga taong naglalakad doon na naghahanap ng "
+        "tahimik na lugar\n"
+        "sa palengke nagbebenta ang mga magsasaka ng mansanas sibuyas "
+        "at keso at ipinapaliwanag ng panadero kung gaano katagal dapat "
+        "magpahinga ang masa bago ito pumasok sa mainit na hurno sabi "
+        "niya ang masarap na sabaw ay nangangailangan ng oras asin at "
+        "kaunting pasensya at hindi dapat lutuin ang isda nang mas "
+        "matagal kaysa kailangan bumili kami ng itlog kamatis at isang "
+        "sako ng bigas para sa linggo\n"
+        "maraming trabaho sa opisina noong lunes dahil nagsimula ang "
+        "bagong proyekto at gusto ng lahat na basahin ang ulat bago ang "
+        "pulong puno ang tren papuntang lungsod ng mga taong may dalang "
+        "bag at telepono at mula sa bintana makikita ang mga pabrika "
+        "tulay at mahahabang hanay ng bahay sa ilalim ng kulay abong "
+        "langit natapos nang huli ang trabaho ngunit maliwanag pa rin "
+        "ang mga kalye sa mga ilawan at musika mula sa mga bukas na "
+        "pinto"
+    ),
+    "ha": (
+        "hasken safiya yana yaduwa a kan kauye kuma yara suna wasa a "
+        "cikin lambu yayin da mahaifiyarsu take kawo sabon burodi da man "
+        "shanu da zuma tsohon agogo a jikin bango yana ci gaba da kirga "
+        "sa'o'in da muke kashewa tare muna karanta labarai game da "
+        "duwatsu masu nisa da kuma mutanen da suke tafiya cikinsu suna "
+        "neman wuri mai natsuwa\n"
+        "a kasuwa manoma suna sayar da tuffa da albasa da cuku kuma mai "
+        "gashin burodi yana bayyana tsawon lokacin da ya kamata kullu ya "
+        "huta kafin ya shiga tanda mai zafi ta ce miya mai kyau tana "
+        "bukatar lokaci da gishiri da dan hakuri kuma kada a dafa kifi "
+        "fiye da yadda ake bukata mun sayi kwai da tumatir da buhun "
+        "shinkafa na mako\n"
+        "ranar litinin an yi aiki sosai a ofis saboda sabon aikin ya "
+        "fara kuma kowa yana son karanta rahoton kafin taron jirgin "
+        "kasa zuwa birni ya cika da mutane dauke da jakunkuna da "
+        "wayoyi ta taga ana ganin masana'antu da gadoji da dogayen "
+        "layukan gidaje a karkashin sararin sama mai toka aikin ya "
+        "kare a makare amma titunan suna nan da haske da fitilu da "
+        "kidan da ke fitowa daga bududdun kofofi"
     ),
 }
 
