@@ -452,3 +452,21 @@ def test_mp4_header_roundtrip():
         h = multimodal.parse_media_header(bad)
         assert h["media_type"] == "video/mp4"
         assert h["width"] is None and h["duration_ms"] is None
+
+
+def test_wav_mulaw_roundtrip():
+    """G.711 mu-law WAV (format tag 7): companding round trip bounded by
+    one quantization step per segment (<7% relative), and the decoded
+    telephony waveform tracks the 16-bit PCM of the same content."""
+    import numpy as np
+
+    x = np.arange(-32768, 32768, 7, dtype=np.int64)
+    dec = multimodal._mulaw_decode(multimodal._mulaw_encode(x))
+    rel = np.abs(dec - np.clip(x, -32635, 32635)) / np.maximum(np.abs(x), 64)
+    assert rel.max() < 0.07
+    s16, _ = multimodal.decode_wav(multimodal.make_wav(250, bits=16))
+    smu, rate = multimodal.decode_wav(multimodal.make_wav(250, codec="mulaw"))
+    assert rate == 8000 and smu.shape == s16.shape
+    assert np.abs(smu - s16).max() < 0.02
+    h = multimodal.parse_media_header(multimodal.make_wav(1500, codec="mulaw"))
+    assert h["duration_ms"] == 1500

@@ -1170,30 +1170,59 @@ def make_jpeg_progressive(width: int, height: int, base: int | None = None) -> b
     )
 
 
+def _mulaw_encode(pcm16: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law companding of int16 samples → uint8 (ITU-T G.711)."""
+    x = pcm16.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132  # bias
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def _mulaw_decode(u8: "np.ndarray") -> "np.ndarray":
+    """Inverse G.711 mu-law: uint8 → int16."""
+    u = (~u8.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
 def make_wav(
     duration_ms: int,
     sample_rate: int = 8000,
     bits: int = 8,
     channels: int = 1,
+    codec: str = "pcm",
 ) -> bytes:
-    """Genuine RIFF/WAVE PCM, deterministic sine-ish samples. 8-bit
+    """Genuine RIFF/WAVE, deterministic sine-ish samples. PCM 8-bit
     (unsigned) or 16-bit (signed LE), mono or interleaved multi-channel
-    (channel c is the base waveform phase-shifted by 64·c samples)."""
+    (channel c is the base waveform phase-shifted by 64·c samples); or
+    ``codec='mulaw'`` for G.711 mu-law telephony bytes (format tag 7,
+    8 bits per sample)."""
     import struct
 
+    if codec == "mulaw":
+        bits = 8
+    fmt_tag = 7 if codec == "mulaw" else 1
     bytes_per = bits // 8
     block_align = channels * bytes_per
     byte_rate = sample_rate * block_align
     n = int(round(duration_ms * sample_rate / 1000))
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+        "<HHIIHH", fmt_tag, channels, sample_rate, byte_rate, block_align,
+        bits,
     )
     chans = [
         synth_samples(n + 64 * c)[64 * c :].astype(np.int64)
         for c in range(channels)
     ]
     inter = np.stack(chans, axis=-1).reshape(-1)  # interleave
-    if bits == 8:
+    if codec == "mulaw":
+        data = _mulaw_encode(((inter - 128) * 256)).astype(np.uint8).tobytes()
+    elif bits == 8:
         data = inter.astype(np.uint8).tobytes()
     else:
         data = (((inter - 128) * 256).astype("<i2")).tobytes()
@@ -1701,11 +1730,12 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
         b = payload
         if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
             return None
-        pos, rate, bits, nch, data = 12, None, None, 1, None
+        pos, rate, bits, nch, tag, data = 12, None, None, 1, 1, None
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
             csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
             if cid == b"fmt ":
+                tag = int.from_bytes(b[pos + 8 : pos + 10], "little")
                 nch = int.from_bytes(b[pos + 10 : pos + 12], "little")
                 rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
                 bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
@@ -1714,7 +1744,13 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
             pos += 8 + csz + (csz & 1)
         if rate is None or data is None or nch < 1:
             return None
-        if bits == 8:
+        if tag == 7 and bits == 8:  # G.711 mu-law
+            samples = _mulaw_decode(
+                np.frombuffer(data, dtype=np.uint8)
+            ).astype(np.float64) / 32768
+        elif tag != 1:
+            return None
+        elif bits == 8:
             samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128
         elif bits == 16:
             samples = np.frombuffer(
