@@ -132,6 +132,9 @@ def test_media_sniff_parity_python_vs_column(spark):
         multimodal.make_wav(10),
         b"ID3\x04fake mp3 tag",
         b"\x00\x00\x00 ftypisommp4ish",
+        multimodal.make_bmp(4, 4),
+        multimodal.make_mp4(100, 8, 8),
+        b"\x00\x00\x00\x01raw nal unit",
         b"plain bytes",
         None,
     ]
@@ -448,10 +451,17 @@ def test_mp4_header_roundtrip():
     h = multimodal.parse_media_header(multimodal.make_mp4(500))
     assert h["duration_ms"] == 500 and h["width"] is None
     good = multimodal.make_mp4(1000, 64, 48)
-    for bad in (good[:20], b"\x00\x00\x00 ftypgarbage", good[:9]):
+    for bad in (good[:20], b"\x00\x00\x00 ftypgarbage"):
         h = multimodal.parse_media_header(bad)
         assert h["media_type"] == "video/mp4"
         assert h["width"] is None and h["duration_ms"] is None
+    # too short for the positional ftyp check → not classified as video
+    h = multimodal.parse_media_header(good[:9])
+    assert h["media_type"] == "application/octet-stream"
+    # NUL-led non-BMFF binaries are no longer misclassified as video
+    assert multimodal.sniff_media(b"\x00\x00\x00\x01raw nal unit") == (
+        "application/octet-stream"
+    )
 
 
 def test_wav_mulaw_roundtrip():
@@ -470,3 +480,17 @@ def test_wav_mulaw_roundtrip():
     assert np.abs(smu - s16).max() < 0.02
     h = multimodal.parse_media_header(multimodal.make_wav(1500, codec="mulaw"))
     assert h["duration_ms"] == 1500
+
+
+def test_bmp_roundtrip():
+    """24-bit uncompressed BMP: bottom-up BGR rows with 4-byte padding
+    must decode to exactly the source pixels; header parser reads dims;
+    the feature path decodes it for real."""
+    for w, h in ((1, 1), (3, 2), (16, 9), (31, 17), (4, 1)):
+        px = multimodal.decode_bmp(multimodal.make_bmp(w, h))
+        assert px is not None and (px == multimodal.synth_pixels(w, h)).all()
+    h = multimodal.parse_media_header(multimodal.make_bmp(640, 480))
+    assert (h["media_type"], h["width"], h["height"]) == ("image/bmp", 640, 480)
+    assert multimodal.decode_bmp(multimodal.make_bmp(16, 16)[:30]) is None
+    f = multimodal.real_feature(multimodal.make_bmp(20, 10))
+    assert f is not None and len(f) == multimodal.FEATURE_DIM

@@ -52,9 +52,9 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
-    (b"\x00\x00\x00", "video/mp4"),
 ]
 
 
@@ -64,6 +64,11 @@ def sniff_media(payload: bytes | None) -> str:
     for magic, mt in _MAGIC:
         if payload.startswith(magic):
             return mt
+    # ISO-BMFF is positional, not a prefix: bytes 4-8 are the ftyp 4cc
+    # (bytes 0-4 are the first box's size). The old '\\x00\\x00\\x00'
+    # prefix rule misclassified any NUL-led binary as video.
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
@@ -76,6 +81,12 @@ def with_media_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     for magic, mime in _MAGIC:
         cond = magic_hex.startswith(magic.hex().upper())
         mt = F.when(cond, mime) if mt is None else mt.when(cond, mime)
+    # positional ISO-BMFF check, mirroring sniff_media's ftyp rule
+    mt = mt.when(
+        (F.length(F.col(bin_col)) >= 12)
+        & (F.hex(F.substring(F.col(bin_col), 5, 4)) == b"ftyp".hex().upper()),
+        "video/mp4",
+    )
     mt = mt.otherwise("application/octet-stream")
     return df.withColumn(
         "media_meta",
@@ -131,6 +142,11 @@ def parse_media_header(payload: bytes | None) -> dict:
                     pos += 2
                     continue
                 pos += 2 + int.from_bytes(b[pos + 2 : pos + 4], "big")
+        elif b.startswith(b"BM") and len(b) >= 26:
+            out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+            out["height"] = abs(
+                int.from_bytes(b[22:26], "little", signed=True)
+            )
         elif len(b) >= 12 and b[4:8] == b"ftyp":
             # ISO-BMFF box walk: moov → mvhd (timescale/duration, v0+v1)
             # and moov → trak → tkhd (16.16 fixed-point dimensions)
@@ -284,6 +300,62 @@ def make_png(
         out += _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
     out += _png_chunk(b"IEND", b"")
     return out
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Genuine 24-bit uncompressed BMP (BITMAPINFOHEADER): bottom-up BGR
+    rows padded to 4 bytes, deterministic ``synth_pixels`` content."""
+    import struct
+
+    px = synth_pixels(width, height)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return head + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray | None":
+    """(height, width, 3) uint8 RGB from a 24-bit uncompressed BMP
+    (bottom-up or top-down), or None. Never raises."""
+    try:
+        b = payload
+        if not b.startswith(b"BM") or len(b) < 54:
+            return None
+        offset = int.from_bytes(b[10:14], "little")
+        hdr_size = int.from_bytes(b[14:18], "little")
+        if hdr_size < 40:
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        if offset + stride * h > len(b):
+            return None
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            row = np.frombuffer(
+                b[offset + i * stride : offset + i * stride + row_bytes],
+                dtype=np.uint8,
+            ).reshape(w, 3)
+            y = i if top_down else h - 1 - i
+            out[y] = row[:, ::-1]  # BGR → RGB
+        return out
+    except Exception:
+        return None
 
 
 def _mp4_box(btype: bytes, payload: bytes) -> bytes:
@@ -1796,10 +1868,11 @@ def real_feature(payload: bytes) -> "list[float] | None":
     baseline Huffman+IDCT decoder in :func:`decode_jpeg`). WAV: rms,
     zero-crossing rate, duration and 8-bin mean-|amplitude| profile."""
     mt = sniff_media(payload)
-    if mt in ("image/png", "image/gif", "image/jpeg"):
+    if mt in ("image/png", "image/gif", "image/jpeg", "image/bmp"):
         px = (
             decode_png(payload) if mt == "image/png"
             else decode_gif(payload) if mt == "image/gif"
+            else decode_bmp(payload) if mt == "image/bmp"
             else decode_jpeg(payload)
         )
         if px is None:
