@@ -57,9 +57,12 @@ _LSTRIP_RE = f"^[{_PY_WS}]+"
 _RSTRIP_RE = f"[{_PY_WS}]+$"
 _ONLY_WS_RE = f"^[{_PY_WS}]*$"
 
-# sniff regexes in RE2 dialect (sniff.py sources; (?i) replaces re.IGNORECASE)
-_RE2_HTML_PREFIX = r"(?i)^(?:<!doctype\s+html|<html[\s>])"
-_RE2_HTMLISH = r"(?i)<(?:title|head|body|div|p|table|nav|h[1-6])[\s>]"
+# sniff regexes in RE2 dialect ((?i) replaces re.IGNORECASE). The \s here
+# must be the PYTHON \s set, not RE2's ASCII-only one: sniff.py routes
+# '<p ' etc. to the html kernel, so the arrow router must too
+# (hypothesis-found divergence, round 5).
+_RE2_HTML_PREFIX = rf"(?i)^(?:<!doctype[{_PY_WS}]+html|<html[{_PY_WS}>])"
+_RE2_HTMLISH = rf"(?i)<(?:title|head|body|div|p|table|nav|h[1-6])[{_PY_WS}>]"
 _RE2_MTEXT = (
     r"\\[AHf][^;\\\n]{0,100};"
     r"|\\S[^;^#]{1,20}[/^#][^;]{1,20};"
