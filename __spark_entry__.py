@@ -1412,8 +1412,9 @@ def q51_lsh_planted_pairs(spark, sf_dir):
 
 def q34_media_features(spark, sf_dir):
     # Multimodal with a REAL kernel and a REAL oracle: deterministic
-    # PNG/GIF/JPEG/WAV/MP4/BMP bytes are synthesized per doc_id (public
-    # byte layouts; MP4 = a genuine ISO-BMFF box tree, round 5), then the
+    # PNG/GIF/JPEG/WAV/MP4/BMP/TIFF bytes are synthesized per doc_id
+    # (public byte layouts; MP4 = a genuine ISO-BMFF box tree and TIFF a
+    # genuine IFD, both round 5), then the
     # header parser reads type/dims/duration back from the bytes. Every
     # output is a closed-form function of doc_id, so DuckDB can predict
     # it without parsing — the engine must actually parse its own bytes
@@ -1427,7 +1428,7 @@ def q34_media_features(spark, sf_dir):
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                k = i % 6
+                k = i % 7
                 if k == 0:
                     p = multimodal.make_png(16 + i % 32, 8 + i % 16)
                 elif k == 1:
@@ -1440,8 +1441,14 @@ def q34_media_features(spark, sf_dir):
                     p = multimodal.make_mp4(
                         500 + (i % 40) * 25, 64 + i % 128, 48 + i % 96
                     )
-                else:
+                elif k == 5:
                     p = multimodal.make_bmp(12 + i % 48, 6 + i % 24)
+                else:
+                    p = multimodal.make_tiff(
+                        8 + i % 56, 4 + i % 28,
+                        big_endian=(i // 7) % 2 == 0,
+                        rows_per_strip=(None if i % 2 else 4),
+                    )
                 payloads.append(p)
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
@@ -1979,23 +1986,26 @@ _ORACLES: dict[str, str] = {
     """,
     "q34_media_features": """
         SELECT doc_id AS media_id,
-               CASE doc_id % 6 WHEN 0 THEN 'image/png'
+               CASE doc_id % 7 WHEN 0 THEN 'image/png'
                                WHEN 1 THEN 'image/gif'
                                WHEN 2 THEN 'image/jpeg'
                                WHEN 3 THEN 'audio/wav'
                                WHEN 4 THEN 'video/mp4'
-                               ELSE 'image/bmp' END AS media_type,
-               (CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 32
+                               WHEN 5 THEN 'image/bmp'
+                               ELSE 'image/tiff' END AS media_type,
+               (CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 32
                                 WHEN 1 THEN 10 + doc_id % 20
                                 WHEN 2 THEN 32 + doc_id % 64
                                 WHEN 4 THEN 64 + doc_id % 128
-                                WHEN 5 THEN 12 + doc_id % 48 END)::INT AS width,
-               (CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 16
+                                WHEN 5 THEN 12 + doc_id % 48
+                                WHEN 6 THEN 8 + doc_id % 56 END)::INT AS width,
+               (CASE doc_id % 7 WHEN 0 THEN 8 + doc_id % 16
                                 WHEN 1 THEN 5 + doc_id % 10
                                 WHEN 2 THEN 16 + doc_id % 32
                                 WHEN 4 THEN 48 + doc_id % 96
-                                WHEN 5 THEN 6 + doc_id % 24 END)::INT AS height,
-               (CASE doc_id % 6 WHEN 3 THEN 100 + (doc_id % 50) * 10
+                                WHEN 5 THEN 6 + doc_id % 24
+                                WHEN 6 THEN 4 + doc_id % 28 END)::INT AS height,
+               (CASE doc_id % 7 WHEN 3 THEN 100 + (doc_id % 50) * 10
                                 WHEN 4 THEN 500 + (doc_id % 40) * 25
                 END)::BIGINT AS duration_ms
         FROM documents ORDER BY media_id

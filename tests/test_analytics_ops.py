@@ -133,6 +133,8 @@ def test_media_sniff_parity_python_vs_column(spark):
         b"ID3\x04fake mp3 tag",
         b"\x00\x00\x00 ftypisommp4ish",
         multimodal.make_bmp(4, 4),
+        multimodal.make_tiff(4, 4),
+        multimodal.make_tiff(4, 4, big_endian=True),
         multimodal.make_mp4(100, 8, 8),
         b"\x00\x00\x00\x01raw nal unit",
         b"plain bytes",
@@ -493,4 +495,26 @@ def test_bmp_roundtrip():
     assert (h["media_type"], h["width"], h["height"]) == ("image/bmp", 640, 480)
     assert multimodal.decode_bmp(multimodal.make_bmp(16, 16)[:30]) is None
     f = multimodal.real_feature(multimodal.make_bmp(20, 10))
+    assert f is not None and len(f) == multimodal.FEATURE_DIM
+
+
+def test_tiff_roundtrip():
+    """Baseline TIFF 6.0 (the scanned-document format): uncompressed
+    8-bit RGB must round-trip exactly across II/MM byte orders and
+    single-/multi-strip layouts; the IFD walk reads dims; the feature
+    path decodes it for real."""
+    for w, h in ((1, 1), (5, 3), (16, 9), (31, 17)):
+        for be in (False, True):
+            for rps in (None, 4):
+                px = multimodal.decode_tiff(
+                    multimodal.make_tiff(w, h, big_endian=be, rows_per_strip=rps)
+                )
+                assert px is not None
+                assert (px == multimodal.synth_pixels(w, h)).all(), (w, h, be, rps)
+    h = multimodal.parse_media_header(multimodal.make_tiff(640, 480))
+    assert (h["media_type"], h["width"], h["height"]) == ("image/tiff", 640, 480)
+    h = multimodal.parse_media_header(multimodal.make_tiff(320, 200, big_endian=True))
+    assert (h["width"], h["height"]) == (320, 200)
+    assert multimodal.decode_tiff(multimodal.make_tiff(16, 16)[:40]) is None
+    f = multimodal.real_feature(multimodal.make_tiff(20, 10))
     assert f is not None and len(f) == multimodal.FEATURE_DIM

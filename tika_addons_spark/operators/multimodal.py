@@ -53,6 +53,8 @@ _MAGIC = [
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
     (b"BM", "image/bmp"),
+    (b"II\x2a\x00", "image/tiff"),
+    (b"MM\x00\x2a", "image/tiff"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
 ]
@@ -142,6 +144,21 @@ def parse_media_header(payload: bytes | None) -> dict:
                     pos += 2
                     continue
                 pos += 2 + int.from_bytes(b[pos + 2 : pos + 4], "big")
+        elif b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            endian = "little" if b[:2] == b"II" else "big"
+
+            def _u(lo: int, n: int) -> int:
+                return int.from_bytes(b[lo : lo + n], endian)
+
+            ifd = _u(4, 4)
+            for i in range(_u(ifd, 2)):
+                p = ifd + 2 + i * 12
+                tag, typ = _u(p, 2), _u(p + 2, 2)
+                val = _u(p + 8, 2 if typ == 3 else 4)
+                if tag == 256:
+                    out["width"] = val
+                elif tag == 257:
+                    out["height"] = val
         elif b.startswith(b"BM") and len(b) >= 26:
             out["width"] = int.from_bytes(b[18:22], "little", signed=True)
             out["height"] = abs(
@@ -354,6 +371,130 @@ def decode_bmp(payload: bytes) -> "np.ndarray | None":
             y = i if top_down else h - 1 - i
             out[y] = row[:, ::-1]  # BGR → RGB
         return out
+    except Exception:
+        return None
+
+
+def make_tiff(
+    width: int,
+    height: int,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Genuine baseline TIFF 6.0: uncompressed 8-bit RGB, chunky planar,
+    one or more strips, II (little) or MM (big) byte order — the classic
+    scanned-document format. Deterministic ``synth_pixels`` content."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    px = synth_pixels(width, height)
+    rps = rows_per_strip or height
+    strips = [
+        px[y : y + rps].tobytes() for y in range(0, height, rps)
+    ]
+    n_strips = len(strips)
+
+    def entry(tag, typ, count, value):
+        if typ == 3 and count == 1:  # SHORT inline, left-justified
+            return struct.pack(f"{e}HHI", tag, typ, count) + struct.pack(
+                f"{e}HH", value, 0
+            )
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    # layout: header(8) + IFD + external arrays + strip data
+    n_entries = 10
+    ifd_size = 2 + n_entries * 12 + 4
+    bits_off = 8 + ifd_size
+    ext = struct.pack(f"{e}HHH", 8, 8, 8)
+    pos = bits_off + len(ext)
+    if n_strips > 1:
+        offsets_off = pos
+        pos += 4 * n_strips
+        counts_off = pos
+        pos += 4 * n_strips
+    data_off = pos
+    strip_offs = []
+    o = data_off
+    for s in strips:
+        strip_offs.append(o)
+        o += len(s)
+
+    entries = b"".join(
+        [
+            entry(256, 4, 1, width),            # ImageWidth
+            entry(257, 4, 1, height),           # ImageLength
+            entry(258, 3, 3, bits_off),         # BitsPerSample -> ext
+            entry(259, 3, 1, 1),                # Compression: none
+            entry(262, 3, 1, 2),                # Photometric: RGB
+            entry(273, 4, n_strips,
+                  strip_offs[0] if n_strips == 1 else offsets_off),
+            entry(277, 3, 1, 3),                # SamplesPerPixel
+            entry(278, 4, 1, rps),              # RowsPerStrip
+            entry(279, 4, n_strips,
+                  len(strips[0]) if n_strips == 1 else counts_off),
+            entry(284, 3, 1, 1),                # PlanarConfig: chunky
+        ]
+    )
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
+    out += struct.pack(f"{e}H", n_entries) + entries + struct.pack(f"{e}I", 0)
+    out += ext
+    if n_strips > 1:
+        out += b"".join(struct.pack(f"{e}I", x) for x in strip_offs)
+        out += b"".join(struct.pack(f"{e}I", len(s)) for s in strips)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> "np.ndarray | None":
+    """(height, width, 3) uint8 from a baseline uncompressed 8-bit RGB
+    TIFF (chunky planar, single- or multi-strip, II or MM), or None.
+    Never raises."""
+    try:
+        b = payload
+        if b[:4] == b"II\x2a\x00":
+            e = "little"
+        elif b[:4] == b"MM\x00\x2a":
+            e = "big"
+        else:
+            return None
+
+        def u(lo, n):
+            return int.from_bytes(b[lo : lo + n], e)
+
+        ifd = u(4, 4)
+        n_entries = u(ifd, 2)
+        tags = {}
+        for i in range(n_entries):
+            p = ifd + 2 + i * 12
+            tag, typ, count = u(p, 2), u(p + 2, 2), u(p + 4, 4)
+            tags[tag] = (typ, count, p + 8)
+
+        def values(tag):
+            typ, count, vp = tags[tag]
+            size = 2 if typ == 3 else 4
+            if size * count <= 4:
+                base = vp
+            else:
+                base = u(vp, 4)
+            return [u(base + i * size, size) for i in range(count)]
+
+        w, h = values(256)[0], values(257)[0]
+        if values(259)[0] != 1 or values(262)[0] != 2:
+            return None  # compressed / non-RGB
+        if 258 in tags and values(258) != [8, 8, 8]:
+            return None
+        if tags.get(277) and values(277)[0] != 3:
+            return None
+        if 284 in tags and values(284)[0] != 1:
+            return None  # planar configuration 2 unsupported
+        offs = values(273)
+        counts = values(279)
+        data = b"".join(b[o : o + c] for o, c in zip(offs, counts))
+        if len(data) != w * h * 3 or w == 0 or h == 0:
+            return None
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     except Exception:
         return None
 
@@ -1868,11 +2009,13 @@ def real_feature(payload: bytes) -> "list[float] | None":
     baseline Huffman+IDCT decoder in :func:`decode_jpeg`). WAV: rms,
     zero-crossing rate, duration and 8-bin mean-|amplitude| profile."""
     mt = sniff_media(payload)
-    if mt in ("image/png", "image/gif", "image/jpeg", "image/bmp"):
+    if mt in ("image/png", "image/gif", "image/jpeg", "image/bmp",
+              "image/tiff"):
         px = (
             decode_png(payload) if mt == "image/png"
             else decode_gif(payload) if mt == "image/gif"
             else decode_bmp(payload) if mt == "image/bmp"
+            else decode_tiff(payload) if mt == "image/tiff"
             else decode_jpeg(payload)
         )
         if px is None:
