@@ -16,7 +16,9 @@ This is the X10 operator over GENUINE archive bytes — the reference's
   zip64 failure mode) — here they surface as a ``status='corrupt'`` row.
 
 Python's stdlib covers zip (``zipfile``), tar (``tarfile``), gz (``gzip``),
-bz2 (``bz2``) and xz (``lzma``) with no new dependencies; 7z is read by the
+bz2 (``bz2``) and xz (``lzma``) with no new dependencies; Unix .Z is read
+by the from-scratch LZW codec in ``lzc.py`` (validated against the system
+``uncompress`` tool, round 5); 7z is read by the
 from-scratch container parser in ``sevenz.py`` (stdlib ``lzma`` does the
 entropy coding — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded headers),
 with coder chains outside that set (BCJ/AES) surfacing as ``unsupported``
@@ -65,7 +67,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import sniff
-from . import sevenz
+from . import lzc, sevenz
 
 MIME_ZIP = sniff.MIME_ZIP  # single-sourced: the extraction path sniffs these
 MIME_GZIP = sniff.MIME_GZIP
@@ -74,6 +76,7 @@ MIME_BZIP2 = "application/x-bzip2"
 MIME_XZ = "application/x-xz"
 MIME_7Z = sniff.MIME_7Z  # single-sourced: the extraction path sniffs it too
 MIME_RAR = "application/x-rar-compressed"
+MIME_COMPRESS = "application/x-compress"
 MIME_BINARY = "application/octet-stream"
 
 #: formats we can actually open (stdlib; 7z via the from-scratch container
@@ -81,7 +84,8 @@ MIME_BINARY = "application/octet-stream"
 #: headers; unsupported coder chains inside a 7z degrade to ``unsupported``
 #: status rows rather than corrupt)
 UNPACKABLE = frozenset(
-    {MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ, MIME_7Z}
+    {MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ, MIME_7Z,
+     MIME_COMPRESS}
 )
 #: detected-but-skipped, as the reference skips formats it lacks a parser for
 DETECT_ONLY = frozenset({MIME_RAR})
@@ -96,6 +100,7 @@ _EXT = {
     MIME_ZIP: ".zip",
     MIME_TAR: ".tar",
     MIME_GZIP: ".gz",
+    MIME_COMPRESS: ".Z",
     MIME_BZIP2: ".bz2",
     MIME_XZ: ".xz",
     MIME_7Z: ".7z",
@@ -115,6 +120,8 @@ def detect_bytes(data: bytes | None) -> str:
         return MIME_ZIP
     if data[:2] == b"\x1f\x8b":
         return MIME_GZIP
+    if data[:2] == b"\x1f\x9d":
+        return MIME_COMPRESS
     if data[:3] == b"BZh":
         return MIME_BZIP2
     if data[:6] == b"\xfd7zXZ\x00":
@@ -257,6 +264,13 @@ def _list_members(
         payload, overflowed = _bounded_decompress(kind, data, max_member_bytes)
         if overflowed:
             return [("", _TooLarge(payload), max_member_bytes + 1)]
+        return [("", payload, len(payload))]
+    if kind == MIME_COMPRESS:
+        # from-scratch Unix .Z LZW (operators/lzc.py), bounded output —
+        # the reference unpacks .Z via commons-compress' Z stream
+        payload, overflowed = lzc.decompress(data, max_member_bytes)
+        if overflowed:
+            return [("", _TooLarge(payload[:_SNIFF_HEAD]), max_member_bytes + 1)]
         return [("", payload, len(payload))]
     if kind == MIME_7Z:
         return [
