@@ -677,10 +677,21 @@ def q47_binary_archive_rollup(spark, sf_dir):
         members = [
             (f"{n}.zip", bytes(b)) for n, b in zip(pdf["zip_name"], pdf["payload"])
         ]
+        tar = binarchive.make_tar(members)
+        # alternate the lossless outer wrapper gzip / Unix .Z by source
+        # (round 5: drives the from-scratch LZW codec through this oracle
+        # with no oracle change — leaf stats are wrapper-invariant)
+        from tika_addons_spark.operators import lzc
+
+        wrapped = (
+            lzc.compress(tar)
+            if sum(src.encode()) % 2
+            else binarchive.make_gzip(tar)
+        )
         return pd.DataFrame(
             {
                 "container_id": [f"out-{src}"],
-                "payload": [binarchive.make_gzip(binarchive.make_tar(members))],
+                "payload": [wrapped],
             }
         )
 
