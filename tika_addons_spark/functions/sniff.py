@@ -28,6 +28,7 @@ MIME_EMPTY = "application/octet-stream"
 MIME_ZIP = "application/zip"
 MIME_GZIP = "application/gzip"
 MIME_7Z = "application/x-7z-compressed"
+MIME_COMPRESS = "application/x-compress"
 
 # base64 data-URI attachments inside turn text — the transcript-world form
 # of the reference's base64-encoded bugzilla attachments
@@ -35,6 +36,7 @@ MIME_7Z = "application/x-7z-compressed"
 DATA_URI_ZIP = "data:application/zip;base64,"
 DATA_URI_GZIP = "data:application/gzip;base64,"
 DATA_URI_7Z = "data:application/x-7z-compressed;base64,"
+DATA_URI_COMPRESS = "data:application/x-compress;base64,"
 
 # unreliable types the reference refuses to trust for renames
 # (bugtracker-crawler/.../Step2ExtensionFixer.java:52-58)
@@ -73,6 +75,8 @@ def sniff_one(text: str | None) -> str:
         return MIME_GZIP
     if stripped.startswith(DATA_URI_7Z):
         return MIME_7Z
+    if stripped.startswith(DATA_URI_COMPRESS):
+        return MIME_COMPRESS
     if stripped.startswith("%PDF-"):
         return MIME_PDF
     if _RE_XML.match(head):
@@ -99,6 +103,7 @@ def sniff_series(s: pd.Series) -> pd.Series:
     out[lstripped.str.startswith(DATA_URI_ZIP, na=False)] = MIME_ZIP
     out[lstripped.str.startswith(DATA_URI_GZIP, na=False)] = MIME_GZIP
     out[lstripped.str.startswith(DATA_URI_7Z, na=False)] = MIME_7Z
+    out[lstripped.str.startswith(DATA_URI_COMPRESS, na=False)] = MIME_COMPRESS
     out[s.isna() | (s.str.len() == 0)] = MIME_EMPTY
     return out
 

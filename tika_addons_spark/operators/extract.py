@@ -85,7 +85,8 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # vectorized.
     needs_kernel = ctype.isin(
         [sniff.MIME_HTML, sniff.MIME_PDF, sniff.MIME_MTEXT,
-         sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z]
+         sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z,
+         sniff.MIME_COMPRESS]
     )
     needs_kernel |= texts.str.contains("<?xpacket begin=", regex=False, na=False)
 
@@ -162,7 +163,8 @@ def extract_embedded_turns(df: DataFrame) -> DataFrame:
                 if not isinstance(text, str):
                     continue
                 ctype = sniff.sniff_one(text)
-                if ctype not in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z):
+                if ctype not in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z,
+                                 sniff.MIME_COMPRESS):
                     continue
                 try:
                     data = base64.b64decode(

@@ -93,6 +93,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
     zipuri = _b(pc.starts_with(stripped, sniff.DATA_URI_ZIP))
     gzuri = _b(pc.starts_with(stripped, sniff.DATA_URI_GZIP))
     szuri = _b(pc.starts_with(stripped, sniff.DATA_URI_7Z))
+    zuri = _b(pc.starts_with(stripped, sniff.DATA_URI_COMPRESS))
     pdf = _b(pc.starts_with(stripped, "%PDF-"))
     xml = _b(pc.starts_with(stripped, "<?xml"))
     html = _b(pc.match_substring_regex(stripped, _RE2_HTML_PREFIX)) | _b(
@@ -112,6 +113,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
         "zip": claim(zipuri),
         "gz": claim(gzuri),
         "sevenz": claim(szuri),
+        "lzc": claim(zuri),
         "pdf": claim(pdf),
         "xml": claim(xml),
         "html": claim(html),
@@ -128,6 +130,7 @@ def _ctype_values(masks: dict[str, np.ndarray], n: int) -> np.ndarray:
         ("xml", sniff.MIME_XML),
         ("pdf", sniff.MIME_PDF),
         ("sevenz", sniff.MIME_7Z),
+        ("lzc", sniff.MIME_COMPRESS),
         ("gz", sniff.MIME_GZIP),
         ("zip", sniff.MIME_ZIP),
         ("empty", sniff.MIME_EMPTY),
@@ -238,7 +241,7 @@ def extract_batch_arrow(rb: pa.RecordBatch) -> pa.RecordBatch:
     ctype = _ctype_values(masks, n)
     needs_kernel = (
         masks["html"] | masks["pdf"] | masks["mtext"]
-        | masks["zip"] | masks["gz"] | masks["sevenz"]
+        | masks["zip"] | masks["gz"] | masks["sevenz"] | masks["lzc"]
     )
     needs_kernel |= _b(
         pc.match_substring(pc.fill_null(text, ""), "<?xpacket begin=")

@@ -127,7 +127,8 @@ def extract_one(text: str | None) -> dict[str, Any]:
         elif ctype == sniff.MIME_MTEXT:
             body = cleaners.clean_mtext(text)
             spans = [("main", 0, len(text))]
-        elif ctype in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z):
+        elif ctype in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z,
+                       sniff.MIME_COMPRESS):
             body, meta, spans, warnings, rejected = _extract_archive_turn(
                 text, ctype
             )
