@@ -18,11 +18,13 @@ This is the X10 operator over GENUINE archive bytes — the reference's
 Python's stdlib covers zip (``zipfile``), tar (``tarfile``), gz (``gzip``),
 bz2 (``bz2``) and xz (``lzma``) with no new dependencies; Unix .Z is read
 by the from-scratch LZW codec in ``lzc.py`` (validated against the system
-``uncompress`` tool, round 5); 7z is read by the
+``uncompress`` tool, round 5); lz4 frames are read by the from-scratch
+codec in ``lz4f.py`` (validated both directions against the JVM lz4-java
+library Spark itself ships, round 5); 7z is read by the
 from-scratch container parser in ``sevenz.py`` (stdlib ``lzma`` does the
 entropy coding — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded headers),
 with coder chains outside that set (BCJ/AES) surfacing as ``unsupported``
-status rows. rar/lz4 remain detected-but-not-unpacked (``unsupported``) —
+status rows. rar remains detected-but-not-unpacked (``unsupported``) —
 whether nested OR at the root — mirroring how the reference logs-and-skips
 formats its PackageParser build lacks. This is the DELIBERATE end state
 for rar, not a gap-in-progress: RAR's compression is a proprietary format
@@ -67,7 +69,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import sniff
-from . import lzc, sevenz
+from . import lz4f, lzc, sevenz
 
 MIME_ZIP = sniff.MIME_ZIP  # single-sourced: the extraction path sniffs these
 MIME_GZIP = sniff.MIME_GZIP
@@ -77,6 +79,7 @@ MIME_XZ = "application/x-xz"
 MIME_7Z = sniff.MIME_7Z  # single-sourced: the extraction path sniffs it too
 MIME_RAR = "application/x-rar-compressed"
 MIME_COMPRESS = "application/x-compress"
+MIME_LZ4 = "application/x-lz4"
 MIME_BINARY = "application/octet-stream"
 
 #: formats we can actually open (stdlib; 7z via the from-scratch container
@@ -85,7 +88,7 @@ MIME_BINARY = "application/octet-stream"
 #: status rows rather than corrupt)
 UNPACKABLE = frozenset(
     {MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ, MIME_7Z,
-     MIME_COMPRESS}
+     MIME_COMPRESS, MIME_LZ4}
 )
 #: detected-but-skipped, as the reference skips formats it lacks a parser for
 DETECT_ONLY = frozenset({MIME_RAR})
@@ -101,6 +104,7 @@ _EXT = {
     MIME_TAR: ".tar",
     MIME_GZIP: ".gz",
     MIME_COMPRESS: ".Z",
+    MIME_LZ4: ".lz4",
     MIME_BZIP2: ".bz2",
     MIME_XZ: ".xz",
     MIME_7Z: ".7z",
@@ -122,6 +126,8 @@ def detect_bytes(data: bytes | None) -> str:
         return MIME_GZIP
     if data[:2] == b"\x1f\x9d":
         return MIME_COMPRESS
+    if data[:4] == b"\x04\x22\x4d\x18":
+        return MIME_LZ4
     if data[:3] == b"BZh":
         return MIME_BZIP2
     if data[:6] == b"\xfd7zXZ\x00":
@@ -269,6 +275,15 @@ def _list_members(
         # from-scratch Unix .Z LZW (operators/lzc.py), bounded output —
         # the reference unpacks .Z via commons-compress' Z stream
         payload, overflowed = lzc.decompress(data, max_member_bytes)
+        if overflowed:
+            return [("", _TooLarge(payload[:_SNIFF_HEAD]), max_member_bytes + 1)]
+        return [("", payload, len(payload))]
+    if kind == MIME_LZ4:
+        # from-scratch LZ4 frame codec (operators/lz4f.py), bounded output
+        # and declared-content-size checked against the cap before decode —
+        # the reference unpacks lz4 via commons-compress' framed stream
+        # (Step3Unpacker.java:64-71)
+        payload, overflowed = lz4f.decompress(data, max_member_bytes)
         if overflowed:
             return [("", _TooLarge(payload[:_SNIFF_HEAD]), max_member_bytes + 1)]
         return [("", payload, len(payload))]
