@@ -94,6 +94,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
     gzuri = _b(pc.starts_with(stripped, sniff.DATA_URI_GZIP))
     szuri = _b(pc.starts_with(stripped, sniff.DATA_URI_7Z))
     zuri = _b(pc.starts_with(stripped, sniff.DATA_URI_COMPRESS))
+    lz4uri = _b(pc.starts_with(stripped, sniff.DATA_URI_LZ4))
     pdf = _b(pc.starts_with(stripped, "%PDF-"))
     xml = _b(pc.starts_with(stripped, "<?xml"))
     html = _b(pc.match_substring_regex(stripped, _RE2_HTML_PREFIX)) | _b(
@@ -114,6 +115,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
         "gz": claim(gzuri),
         "sevenz": claim(szuri),
         "lzc": claim(zuri),
+        "lz4": claim(lz4uri),
         "pdf": claim(pdf),
         "xml": claim(xml),
         "html": claim(html),
@@ -131,6 +133,7 @@ def _ctype_values(masks: dict[str, np.ndarray], n: int) -> np.ndarray:
         ("pdf", sniff.MIME_PDF),
         ("sevenz", sniff.MIME_7Z),
         ("lzc", sniff.MIME_COMPRESS),
+        ("lz4", sniff.MIME_LZ4),
         ("gz", sniff.MIME_GZIP),
         ("zip", sniff.MIME_ZIP),
         ("empty", sniff.MIME_EMPTY),
@@ -242,6 +245,7 @@ def extract_batch_arrow(rb: pa.RecordBatch) -> pa.RecordBatch:
     needs_kernel = (
         masks["html"] | masks["pdf"] | masks["mtext"]
         | masks["zip"] | masks["gz"] | masks["sevenz"] | masks["lzc"]
+        | masks["lz4"]
     )
     needs_kernel |= _b(
         pc.match_substring(pc.fill_null(text, ""), "<?xpacket begin=")
