@@ -24,15 +24,17 @@ library Spark itself ships, round 5); 7z is read by the
 from-scratch container parser in ``sevenz.py`` (stdlib ``lzma`` does the
 entropy coding — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded headers),
 with coder chains outside that set (BCJ/AES) surfacing as ``unsupported``
-status rows. rar remains detected-but-not-unpacked (``unsupported``) —
-whether nested OR at the root — mirroring how the reference logs-and-skips
-formats its PackageParser build lacks. This is the DELIBERATE end state
-for rar, not a gap-in-progress: RAR's compression is a proprietary format
-with no public specification (the unrar sources carry a no-reimplementation
-license), so a from-scratch decoder is off the table for this repo's
-public-knowledge-only constraint; clean detection + a typed status row is
-the correct taxonomy, exactly as the reference's logs show for parsers
-absent from its build.
+status rows. RAR5 containers are walked by the from-scratch header parser
+in ``rar5.py`` (the container *layout* is public — rarlab's RAR 5.0
+technote): every member is enumerated with metadata, STORED members are
+extracted and CRC-verified, and members compressed with the proprietary
+RAR algorithm — which has no public specification (the unrar sources
+carry a no-reimplementation license, so a from-scratch decoder is off the
+table for this repo's public-knowledge-only constraint) — surface as
+``unsupported`` metadata rows. That split IS the deliberate end state for
+rar: headers and stored payloads in, the proprietary entropy coder out,
+exactly the taxonomy the reference's logs show for parsers absent from
+its build. RAR4 archives stay detected-only (one ``unsupported`` row).
 
 Decompression-bomb posture (this kernel runs on arbitrary base64 data-URI
 turn bytes): three independent caps, each degrading to a status row rather
@@ -69,7 +71,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import sniff
-from . import lz4f, lzc, sevenz
+from . import lz4f, lzc, rar5, sevenz
 
 MIME_ZIP = sniff.MIME_ZIP  # single-sourced: the extraction path sniffs these
 MIME_GZIP = sniff.MIME_GZIP
@@ -88,10 +90,14 @@ MIME_BINARY = "application/octet-stream"
 #: status rows rather than corrupt)
 UNPACKABLE = frozenset(
     {MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ, MIME_7Z,
-     MIME_COMPRESS, MIME_LZ4}
+     MIME_COMPRESS, MIME_LZ4, MIME_RAR}
 )
-#: detected-but-skipped, as the reference skips formats it lacks a parser for
-DETECT_ONLY = frozenset({MIME_RAR})
+#: detected-but-skipped, as the reference skips formats it lacks a parser
+#: for. RAR left this set in round 5: the RAR5 container layout is public
+#: (rarlab technote), so headers are walked and STORED members extracted
+#: (operators/rar5.py); only the proprietary compression algorithm stays
+#: out — compressed members and RAR4 archives surface as ``unsupported``.
+DETECT_ONLY = frozenset()
 
 _EXT = {
     sniff.MIME_PDF: ".pdf",
@@ -294,6 +300,20 @@ def _list_members(
                 data, max_member_bytes
             )
         ]
+    if kind == MIME_RAR:
+        if not data.startswith(rar5.MAGIC5):
+            # RAR4 and older: header layout predates the public technote's
+            # scope here — detected-but-not-unpacked, one status row
+            raise sevenz.UnsupportedCoder("rar4")
+        out = []
+        for m in rar5.list_members(data, max_member_bytes):
+            if m.status == "ok":
+                out.append((m.name, m.payload, m.size))
+            elif m.status == "too-large":
+                out.append((m.name, _TooLarge(m.head), m.size))
+            else:  # compressed/encrypted member: metadata-only row
+                out.append((m.name, _Unsupported(), m.size))
+        return out
     raise ValueError(f"not a container: {kind}")
 
 
@@ -305,6 +325,14 @@ class _TooLarge:
 
     def __init__(self, head: bytes):
         self.head = head
+
+
+class _Unsupported:
+    """Marker for a member whose bytes are unreadable by design (RAR
+    proprietary compression, encryption): metadata row, no payload, and
+    no content type claim — the compressed bytes aren't the content."""
+
+    __slots__ = ()
 
 
 def _decode_text(data: bytes) -> str | None:
@@ -385,6 +413,14 @@ def unpack_one(
                     _row(-1, cname, None, None, kind, depth, True, 0, "truncated")
                 )
                 return rows
+            if isinstance(mdata, _Unsupported):
+                # readable header, unreadable bytes (RAR compressed or
+                # encrypted member): metadata row with the declared size
+                rows.append(
+                    _row(count, f"{cname}-{count}.bin", None, None,
+                         MIME_BINARY, depth + 1, False, msize, "unsupported")
+                )
+                continue
             if isinstance(mdata, _TooLarge) or total_out + msize > max_total_bytes:
                 head = mdata.head if isinstance(mdata, _TooLarge) else mdata[:_SNIFF_HEAD]
                 mtype = detect_bytes(head)
