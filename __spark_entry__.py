@@ -678,17 +678,19 @@ def q47_binary_archive_rollup(spark, sf_dir):
             (f"{n}.zip", bytes(b)) for n, b in zip(pdf["zip_name"], pdf["payload"])
         ]
         tar = binarchive.make_tar(members)
-        # alternate the lossless outer wrapper gzip / Unix .Z / lz4 by
-        # source (round 5: drives the from-scratch LZW and LZ4 codecs
-        # through this oracle with no oracle change — leaf stats are
-        # wrapper-invariant)
-        from tika_addons_spark.operators import lz4f, lzc
+        # alternate the lossless outer wrapper gzip / Unix .Z / lz4 /
+        # RAR5-stored by source (round 5: drives the from-scratch LZW,
+        # LZ4 and RAR5 codecs through this oracle with no oracle change —
+        # leaf stats are wrapper-invariant)
+        from tika_addons_spark.operators import lz4f, lzc, rar5
 
-        sel = sum(src.encode()) % 3
+        sel = sum(src.encode()) % 4
         if sel == 1:
             wrapped = lzc.compress(tar)
         elif sel == 2:
             wrapped = lz4f.compress(tar)
+        elif sel == 3:
+            wrapped = rar5.make_rar5([("t.tar", tar)])
         else:
             wrapped = binarchive.make_gzip(tar)
         return pd.DataFrame(
