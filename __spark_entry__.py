@@ -679,18 +679,21 @@ def q47_binary_archive_rollup(spark, sf_dir):
         ]
         tar = binarchive.make_tar(members)
         # alternate the lossless outer wrapper gzip / Unix .Z / lz4 /
-        # RAR5-stored by source (round 5: drives the from-scratch LZW,
-        # LZ4 and RAR5 codecs through this oracle with no oracle change —
-        # leaf stats are wrapper-invariant)
-        from tika_addons_spark.operators import lz4f, lzc, rar5
+        # RAR5-stored / framed-snappy by source (round 5: drives the
+        # from-scratch LZW, LZ4, RAR5 and snappy codecs through this
+        # oracle with no oracle change — leaf stats are wrapper-invariant;
+        # all five selectors occur among the sources at sf0.01 and sf0.1)
+        from tika_addons_spark.operators import lz4f, lzc, rar5, snappyf
 
-        sel = sum(src.encode()) % 4
+        sel = sum(src.encode()) % 5
         if sel == 1:
             wrapped = lzc.compress(tar)
         elif sel == 2:
             wrapped = lz4f.compress(tar)
         elif sel == 3:
             wrapped = rar5.make_rar5([("t.tar", tar)])
+        elif sel == 4:
+            wrapped = snappyf.compress(tar)
         else:
             wrapped = binarchive.make_gzip(tar)
         return pd.DataFrame(

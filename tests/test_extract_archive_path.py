@@ -274,3 +274,45 @@ def test_lz4_data_uri_turn():
     for col in ("extracted_text", "detected_content_type", "parse_status",
                 "chars_out"):
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_snappy_data_uri_turn():
+    """A base64 framed-snappy data-URI turn must sniff as
+    application/x-snappy-framed and unpack through the from-scratch
+    snappy codec inside the extraction kernel — pandas==arrow parity."""
+    import base64
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from tika_addons_spark.operators import binarchive as ba
+    from tika_addons_spark.operators import snappyf
+    from tika_addons_spark.operators.extract import extract_batch
+    from tika_addons_spark.operators.extract_arrow import extract_batch_arrow
+    from tika_addons_spark.oracle import extract_one
+
+    inner = ba.make_zip([("m.txt", b"member text here"),
+                         ("x.xml", b'<?xml version="1.0"?>ok')])
+    uri = ("data:application/x-snappy-framed;base64,"
+           + base64.b64encode(snappyf.compress(inner)).decode())
+    r = extract_one(uri)
+    assert r["detected_content_type"] == sniff.MIME_SNAPPY
+    assert r["parse_status"] == "valid"
+    assert r["extracted_text"] == 'member text here\n<?xml version="1.0"?>ok'
+
+    texts = [uri, "plain text"]
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "b"],
+        "turn_idx": pd.array([0, 1], dtype="int32"),
+        "text": pd.array(texts, dtype=object),
+    })
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(pdf["conv_id"]), pa.array(pdf["turn_idx"], pa.int32()),
+         pa.array(texts, pa.string())],
+        names=["conv_id", "turn_idx", "text"],
+    )
+    got = extract_batch_arrow(rb).to_pandas()
+    exp = extract_batch(pdf).reset_index(drop=True)
+    for col in ("extracted_text", "detected_content_type", "parse_status",
+                "chars_out"):
+        assert got[col].tolist() == exp[col].tolist(), col

@@ -30,6 +30,7 @@ MIME_GZIP = "application/gzip"
 MIME_7Z = "application/x-7z-compressed"
 MIME_COMPRESS = "application/x-compress"
 MIME_LZ4 = "application/x-lz4"
+MIME_SNAPPY = "application/x-snappy-framed"
 
 # base64 data-URI attachments inside turn text — the transcript-world form
 # of the reference's base64-encoded bugzilla attachments
@@ -39,6 +40,7 @@ DATA_URI_GZIP = "data:application/gzip;base64,"
 DATA_URI_7Z = "data:application/x-7z-compressed;base64,"
 DATA_URI_COMPRESS = "data:application/x-compress;base64,"
 DATA_URI_LZ4 = "data:application/x-lz4;base64,"
+DATA_URI_SNAPPY = "data:application/x-snappy-framed;base64,"
 
 # unreliable types the reference refuses to trust for renames
 # (bugtracker-crawler/.../Step2ExtensionFixer.java:52-58)
@@ -81,6 +83,8 @@ def sniff_one(text: str | None) -> str:
         return MIME_COMPRESS
     if stripped.startswith(DATA_URI_LZ4):
         return MIME_LZ4
+    if stripped.startswith(DATA_URI_SNAPPY):
+        return MIME_SNAPPY
     if stripped.startswith("%PDF-"):
         return MIME_PDF
     if _RE_XML.match(head):
@@ -109,6 +113,7 @@ def sniff_series(s: pd.Series) -> pd.Series:
     out[lstripped.str.startswith(DATA_URI_7Z, na=False)] = MIME_7Z
     out[lstripped.str.startswith(DATA_URI_COMPRESS, na=False)] = MIME_COMPRESS
     out[lstripped.str.startswith(DATA_URI_LZ4, na=False)] = MIME_LZ4
+    out[lstripped.str.startswith(DATA_URI_SNAPPY, na=False)] = MIME_SNAPPY
     out[s.isna() | (s.str.len() == 0)] = MIME_EMPTY
     return out
 

@@ -20,7 +20,9 @@ bz2 (``bz2``) and xz (``lzma``) with no new dependencies; Unix .Z is read
 by the from-scratch LZW codec in ``lzc.py`` (validated against the system
 ``uncompress`` tool, round 5); lz4 frames are read by the from-scratch
 codec in ``lz4f.py`` (validated both directions against the JVM lz4-java
-library Spark itself ships, round 5); 7z is read by the
+library Spark itself ships, round 5); framed snappy (.sz) by the
+from-scratch codec in ``snappyf.py`` (validated both directions, raw and
+framed, against the bundled snappy-java, round 5); 7z is read by the
 from-scratch container parser in ``sevenz.py`` (stdlib ``lzma`` does the
 entropy coding — Copy/LZMA1/LZMA2 folders, raw or LZMA-encoded headers),
 with coder chains outside that set (BCJ/AES) surfacing as ``unsupported``
@@ -71,7 +73,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import sniff
-from . import lz4f, lzc, rar5, sevenz
+from . import lz4f, lzc, rar5, sevenz, snappyf
 
 MIME_ZIP = sniff.MIME_ZIP  # single-sourced: the extraction path sniffs these
 MIME_GZIP = sniff.MIME_GZIP
@@ -82,6 +84,7 @@ MIME_7Z = sniff.MIME_7Z  # single-sourced: the extraction path sniffs it too
 MIME_RAR = "application/x-rar-compressed"
 MIME_COMPRESS = "application/x-compress"
 MIME_LZ4 = "application/x-lz4"
+MIME_SNAPPY = "application/x-snappy-framed"
 MIME_BINARY = "application/octet-stream"
 
 #: formats we can actually open (stdlib; 7z via the from-scratch container
@@ -90,7 +93,7 @@ MIME_BINARY = "application/octet-stream"
 #: status rows rather than corrupt)
 UNPACKABLE = frozenset(
     {MIME_ZIP, MIME_TAR, MIME_GZIP, MIME_BZIP2, MIME_XZ, MIME_7Z,
-     MIME_COMPRESS, MIME_LZ4, MIME_RAR}
+     MIME_COMPRESS, MIME_LZ4, MIME_SNAPPY, MIME_RAR}
 )
 #: detected-but-skipped, as the reference skips formats it lacks a parser
 #: for. RAR left this set in round 5: the RAR5 container layout is public
@@ -111,6 +114,7 @@ _EXT = {
     MIME_GZIP: ".gz",
     MIME_COMPRESS: ".Z",
     MIME_LZ4: ".lz4",
+    MIME_SNAPPY: ".sz",
     MIME_BZIP2: ".bz2",
     MIME_XZ: ".xz",
     MIME_7Z: ".7z",
@@ -134,6 +138,8 @@ def detect_bytes(data: bytes | None) -> str:
         return MIME_COMPRESS
     if data[:4] == b"\x04\x22\x4d\x18":
         return MIME_LZ4
+    if data[:10] == b"\xff\x06\x00\x00sNaPpY":
+        return MIME_SNAPPY
     if data[:3] == b"BZh":
         return MIME_BZIP2
     if data[:6] == b"\xfd7zXZ\x00":
@@ -290,6 +296,13 @@ def _list_members(
         # the reference unpacks lz4 via commons-compress' framed stream
         # (Step3Unpacker.java:64-71)
         payload, overflowed = lz4f.decompress(data, max_member_bytes)
+        if overflowed:
+            return [("", _TooLarge(payload[:_SNIFF_HEAD]), max_member_bytes + 1)]
+        return [("", payload, len(payload))]
+    if kind == MIME_SNAPPY:
+        # from-scratch framed snappy codec (operators/snappyf.py), bounded
+        # output with per-chunk masked-CRC32C verification
+        payload, overflowed = snappyf.decompress(data, max_member_bytes)
         if overflowed:
             return [("", _TooLarge(payload[:_SNIFF_HEAD]), max_member_bytes + 1)]
         return [("", payload, len(payload))]

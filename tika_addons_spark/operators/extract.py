@@ -86,7 +86,7 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     needs_kernel = ctype.isin(
         [sniff.MIME_HTML, sniff.MIME_PDF, sniff.MIME_MTEXT,
          sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z,
-         sniff.MIME_COMPRESS, sniff.MIME_LZ4]
+         sniff.MIME_COMPRESS, sniff.MIME_LZ4, sniff.MIME_SNAPPY]
     )
     needs_kernel |= texts.str.contains("<?xpacket begin=", regex=False, na=False)
 
@@ -164,7 +164,8 @@ def extract_embedded_turns(df: DataFrame) -> DataFrame:
                     continue
                 ctype = sniff.sniff_one(text)
                 if ctype not in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z,
-                                 sniff.MIME_COMPRESS, sniff.MIME_LZ4):
+                                 sniff.MIME_COMPRESS, sniff.MIME_LZ4,
+                                 sniff.MIME_SNAPPY):
                     continue
                 try:
                     data = base64.b64decode(

@@ -95,6 +95,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
     szuri = _b(pc.starts_with(stripped, sniff.DATA_URI_7Z))
     zuri = _b(pc.starts_with(stripped, sniff.DATA_URI_COMPRESS))
     lz4uri = _b(pc.starts_with(stripped, sniff.DATA_URI_LZ4))
+    szuri2 = _b(pc.starts_with(stripped, sniff.DATA_URI_SNAPPY))
     pdf = _b(pc.starts_with(stripped, "%PDF-"))
     xml = _b(pc.starts_with(stripped, "<?xml"))
     html = _b(pc.match_substring_regex(stripped, _RE2_HTML_PREFIX)) | _b(
@@ -116,6 +117,7 @@ def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
         "sevenz": claim(szuri),
         "lzc": claim(zuri),
         "lz4": claim(lz4uri),
+        "snappy": claim(szuri2),
         "pdf": claim(pdf),
         "xml": claim(xml),
         "html": claim(html),
@@ -134,6 +136,7 @@ def _ctype_values(masks: dict[str, np.ndarray], n: int) -> np.ndarray:
         ("sevenz", sniff.MIME_7Z),
         ("lzc", sniff.MIME_COMPRESS),
         ("lz4", sniff.MIME_LZ4),
+        ("snappy", sniff.MIME_SNAPPY),
         ("gz", sniff.MIME_GZIP),
         ("zip", sniff.MIME_ZIP),
         ("empty", sniff.MIME_EMPTY),
@@ -245,7 +248,7 @@ def extract_batch_arrow(rb: pa.RecordBatch) -> pa.RecordBatch:
     needs_kernel = (
         masks["html"] | masks["pdf"] | masks["mtext"]
         | masks["zip"] | masks["gz"] | masks["sevenz"] | masks["lzc"]
-        | masks["lz4"]
+        | masks["lz4"] | masks["snappy"]
     )
     needs_kernel |= _b(
         pc.match_substring(pc.fill_null(text, ""), "<?xpacket begin=")

@@ -128,7 +128,8 @@ def extract_one(text: str | None) -> dict[str, Any]:
             body = cleaners.clean_mtext(text)
             spans = [("main", 0, len(text))]
         elif ctype in (sniff.MIME_ZIP, sniff.MIME_GZIP, sniff.MIME_7Z,
-                       sniff.MIME_COMPRESS, sniff.MIME_LZ4):
+                       sniff.MIME_COMPRESS, sniff.MIME_LZ4,
+                       sniff.MIME_SNAPPY):
             body, meta, spans, warnings, rejected = _extract_archive_turn(
                 text, ctype
             )
