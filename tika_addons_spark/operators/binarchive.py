@@ -407,8 +407,9 @@ def unpack_one(
         try:
             members = _list_members(kind, cdata, max_member_bytes)
         except sevenz.UnsupportedCoder:
-            # valid container, coder outside the implemented set (BCJ/AES):
-            # the detected-but-not-unpacked taxonomy, not corruption
+            # valid container, coder outside the implemented set (7z
+            # BCJ/AES chains, RAR4 layout): the detected-but-not-unpacked
+            # taxonomy, not corruption
             rows.append(
                 _row(-1, cname, None, None, kind, depth, True, len(cdata),
                      "unsupported")
