@@ -181,21 +181,39 @@ def compress_block(src: bytes) -> bytes:
     out = bytearray()
     if n == 0:
         return bytes(out)
+    # all 4-byte little-endian keys in one vectorized pass: the per-position
+    # ``src[i:i+4]`` slice + int.from_bytes pair was most of encoder time,
+    # and ``keys[cand] == k`` is exactly ``src[cand:cand+4] == src[i:i+4]``
+    import numpy as np
+
+    if n >= 4:
+        b = np.frombuffer(src, dtype=np.uint8).astype(np.uint32)
+        keys = (
+            b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
+        ).tolist()
+    else:
+        keys = []
     table: dict[int, int] = {}
     anchor = 0
     i = 0
     # matches may not start within the last 12 bytes; last 5 are literals
     match_limit = n - 5
     while i + 12 <= n:
-        key = src[i : i + 4]
-        k = int.from_bytes(key, "little")
+        k = keys[i]
         cand = table.get(k)
         table[k] = i
-        if cand is None or i - cand > 65535 or src[cand : cand + 4] != key:
+        if cand is None or i - cand > 65535 or keys[cand] != k:
             i += 1
             continue
         # extend match forward, capped so the last 5 bytes stay literal
+        # (8-byte slice compares first, then byte-wise to the exact end —
+        # same mlen as the pure byte-wise scan)
         mlen = 4
+        while (
+            i + mlen + 8 <= match_limit
+            and src[cand + mlen : cand + mlen + 8] == src[i + mlen : i + mlen + 8]
+        ):
+            mlen += 8
         while i + mlen < match_limit and src[cand + mlen] == src[i + mlen]:
             mlen += 1
         _emit(out, src, anchor, i, i - cand, mlen)

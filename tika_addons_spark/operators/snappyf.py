@@ -66,9 +66,42 @@ def _make_crc32c_table() -> list[int]:
 _CRC_TABLE = _make_crc32c_table()
 
 
+def _make_crc32c_slices() -> list[list[int]]:
+    # slicing-by-8 tables: T[j][n] advances byte n through j+1 zero bytes
+    tables = [_CRC_TABLE]
+    for _ in range(7):
+        prev = tables[-1]
+        tables.append(
+            [_CRC_TABLE[c & 0xFF] ^ (c >> 8) for c in prev]
+        )
+    return tables
+
+
+_CRC_SLICES = _make_crc32c_slices()
+
+
 def crc32c(data: bytes) -> int:
+    # slicing-by-8 (identical CRC to the byte-at-a-time loop, ~3x fewer
+    # Python iterations — this runs over every chunk on both the compress
+    # and the verify side)
     crc = _M32
-    for b in data:
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC_SLICES
+    n8 = len(data) & ~7
+    for i in range(0, n8, 8):
+        q = int.from_bytes(data[i : i + 8], "little")
+        lo = (crc ^ q) & _M32
+        hi = q >> 32
+        crc = (
+            t7[lo & 0xFF]
+            ^ t6[(lo >> 8) & 0xFF]
+            ^ t5[(lo >> 16) & 0xFF]
+            ^ t4[lo >> 24]
+            ^ t3[hi & 0xFF]
+            ^ t2[(hi >> 8) & 0xFF]
+            ^ t1[(hi >> 16) & 0xFF]
+            ^ t0[hi >> 24]
+        )
+    for b in data[n8:]:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ _M32
 
@@ -169,17 +202,34 @@ def compress_raw(src: bytes) -> bytes:
         out.append(b | 0x80 if v else b)
         if not v:
             break
+    # all 4-byte little-endian keys in one vectorized pass (same rewrite as
+    # lz4f.compress_block): ``keys[cand] == k`` ⟺ the two 4-byte windows
+    # are equal, so emitted elements are identical to the sliced scan
+    if n >= 4:
+        import numpy as np
+
+        bb = np.frombuffer(src, dtype=np.uint8).astype(np.uint32)
+        keys = (
+            bb[:-3] | (bb[1:-2] << 8) | (bb[2:-1] << 16) | (bb[3:] << 24)
+        ).tolist()
+    else:
+        keys = []
     table: dict[int, int] = {}
     anchor = 0
     i = 0
     while i + 4 <= n:
-        k = int.from_bytes(src[i : i + 4], "little")
+        k = keys[i]
         cand = table.get(k)
         table[k] = i
-        if cand is None or i - cand > 0xFFFF or src[cand : cand + 4] != src[i : i + 4]:
+        if cand is None or i - cand > 0xFFFF:
             i += 1
             continue
         mlen = 4
+        while (
+            i + mlen + 8 <= n
+            and src[cand + mlen : cand + mlen + 8] == src[i + mlen : i + mlen + 8]
+        ):
+            mlen += 8
         while i + mlen < n and src[cand + mlen] == src[i + mlen]:
             mlen += 1
         _emit_literal(out, src, anchor, i)

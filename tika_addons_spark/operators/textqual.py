@@ -109,22 +109,19 @@ def lang_guess(text_col: str) -> Column:
     in ``functions/langid.py`` (q44); this stays as the JVM-side fast path
     for partition routing and oracled queries (q24)."""
     toks = F.array_distinct(tokens_col(text_col))
-    scores = [
-        (
-            lang,
+    # argmax via one array_max over (score, -index, lang) structs: each
+    # score expression appears exactly ONCE in the tree (the earlier
+    # when-chain repeated every score ~3x), ties break to the earliest
+    # language in sorted order exactly as the chained > comparisons did
+    entries = [
+        F.struct(
             F.size(
                 F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-            ),
+            ).alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("lang"),
         )
-        for lang, words in sorted(STOPWORDS.items())
+        for i, (lang, words) in enumerate(sorted(STOPWORDS.items()))
     ]
-    best = None
-    best_score = None
-    for lang, score in scores:
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))

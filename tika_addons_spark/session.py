@@ -85,14 +85,33 @@ def get_spark(
         .config("spark.sql.execution.pandas.udf.buffer.size", PANDAS_UDF_BUFFER)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # Floor on scan parallelism, derived from the session's core count
+        # (never a constant): single-file parquet inputs land on 1-2 scan
+        # tasks otherwise, serializing the scan-stage work (partial
+        # aggregation, mapInPandas synth) onto one core. Splits are still
+        # bounded below by row-group layout, so this is a no-op for
+        # many-file cluster-scale tables.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
     )
     # Shuffle/spill on RAM-backed storage when available: local-mode shuffle
     # goes through spark.local.dir, and disk /tmp was measured to both slow
     # and destabilize the repartition stage (29k→82k turns/s swings; tmpfs
     # gives a stable ~1.5× on the extraction job at local[32]). On a real
-    # cluster this is the NVMe/ramdisk shuffle-dir best practice.
+    # cluster this is the NVMe/ramdisk shuffle-dir best practice. Guard:
+    # only when the tmpfs has real headroom — shuffle spill competing with
+    # executor memory in a nearly-full /dev/shm must degrade to disk, not
+    # OOM the host (SPARK_GRAFT_SHM_MIN_FREE_GB overrides, default 8 GiB).
     if os.path.isdir("/dev/shm"):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+        try:
+            _st = os.statvfs("/dev/shm")
+            _shm_free = _st.f_bavail * _st.f_frsize
+        except OSError:
+            _shm_free = 0
+        _min_free = float(
+            os.environ.get("SPARK_GRAFT_SHM_MIN_FREE_GB", "8")
+        ) * (1024**3)
+        if _shm_free >= _min_free:
+            builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     # JDBC driver jar is attached only on explicit opt-in (with_jdbc=True or
     # SPARK_GRAFT_JDBC=1): a stale/corrupt cached jar must not silently
     # change the classpath of sessions that never touch a jdbc: URL.
