@@ -289,47 +289,28 @@ def q20_jaccard_pairs(spark, sf_dir):
 
 
 def q21_token_entropy(spark, sf_dir):
-    # Per-row entropy over sorted-token run lengths (aggregate HOF): the
-    # same -Σ (c/n)·log2(c/n) terms as the oracle, with zero shuffles —
-    # the earlier explode → groupBy(doc,tok) → window → groupBy(doc) plan
-    # shuffled every token twice. Docs with no tokens are filtered out,
-    # exactly as explode dropped them.
+    # explode → per-(doc,token) counts → window total (reuses the doc_id
+    # partitioning; one fewer shuffle than a join against a totals subquery).
+    # Round-6 note: per-row shuffle-free rewrites (run-length aggregate HOF,
+    # boundary-index HOF) were measured SLOWER at sf1.0 (3.2s / 4.1s vs
+    # 2.2s) — Spark's higher-order functions are interpreted per element
+    # while this plan stays in whole-stage codegen; kept as-is deliberately.
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.array_sort(tokens_col("text")).alias("toks")
-    ).filter(F.size("toks") > 0)
-    n = F.size("toks").cast("double")
-
-    def term(run):
-        return F.when(run > 0.0, (run / n) * F.log2(run / n)).otherwise(
-            F.lit(0.0)
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id")
+    return (
+        counts.withColumn("n", F.sum("c").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy")
         )
-
-    def step(st, t):
-        return F.when(
-            t == st["prev"],
-            F.struct(
-                t.alias("prev"),
-                (st["run"] + F.lit(1.0)).alias("run"),
-                st["acc"].alias("acc"),
-            ),
-        ).otherwise(
-            F.struct(
-                t.alias("prev"),
-                F.lit(1.0).alias("run"),
-                (st["acc"] + term(st["run"])).alias("acc"),
-            )
-        )
-
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0.0).alias("run"),
-        F.lit(0.0).alias("acc"),
     )
-    neg_sum = F.aggregate(
-        F.col("toks"), init, step, lambda st: st["acc"] + term(st["run"])
-    )
-    return base.select("doc_id", F.round(-neg_sum, 6).alias("entropy"))
 
 
 def q22_fingerprint(spark, sf_dir):

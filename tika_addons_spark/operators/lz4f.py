@@ -196,6 +196,7 @@ def compress_block(src: bytes) -> bytes:
     table: dict[int, int] = {}
     anchor = 0
     i = 0
+    misses = 0
     # matches may not start within the last 12 bytes; last 5 are literals
     match_limit = n - 5
     while i + 12 <= n:
@@ -203,8 +204,14 @@ def compress_block(src: bytes) -> bytes:
         cand = table.get(k)
         table[k] = i
         if cand is None or i - cand > 65535 or keys[cand] != k:
-            i += 1
+            # reference-encoder skip acceleration: after a run of misses,
+            # step grows (1 + misses//64), bounding worst-case scan time on
+            # incompressible data; any skipped positions simply become
+            # literals, so the stream stays spec-valid
+            i += 1 + (misses >> 6)
+            misses += 1
             continue
+        misses = 0
         # extend match forward, capped so the last 5 bytes stay literal
         # (8-byte slice compares first, then byte-wise to the exact end —
         # same mlen as the pure byte-wise scan)

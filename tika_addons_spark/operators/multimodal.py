@@ -647,29 +647,37 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     bw = _BitWriter()
 
-    def reset():
-        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
-
-    table, next_code, width = reset()
+    # sequences keyed (code << 12) | next_byte (codes fit 12 bits, bytes 8)
+    # — no per-byte bytes allocation in the hot loop; literal codes are
+    # implicit, emitted codes identical to the bytes-keyed version
+    table: dict[int, int] = {}
+    next_code, width = end + 1, min_code_size + 1
     bw.write(clear, width)
-    w = b""
+    cur = -1
+    get = table.get
     for ch in data:
-        wk = w + bytes([ch])
-        if wk in table:
-            w = wk
+        if cur < 0:
+            cur = ch
             continue
-        bw.write(table[w], width)
-        table[wk] = next_code
+        key = (cur << 12) | ch
+        nc = get(key)
+        if nc is not None:
+            cur = nc
+            continue
+        bw.write(cur, width)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << width) + 1:
             if width < 12:
                 width += 1
             else:
                 bw.write(clear, width)
-                table, next_code, width = reset()
-        w = bytes([ch])
-    if w:
-        bw.write(table[w], width)
+                table = {}
+                get = table.get
+                next_code, width = end + 1, min_code_size + 1
+        cur = ch
+    if cur >= 0:
+        bw.write(cur, width)
     bw.write(end, width)
     return bw.finish()
 
@@ -685,9 +693,11 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
 
     table, width, prev = fresh(), min_code_size + 1, None
     while pos + width <= nbits:
-        code = 0
-        for i in range(width):
-            code |= ((data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1) << i
+        # read the code in one 3-byte little-endian load (width <= 12 and
+        # bit offset <= 7 fit in 24 bits) instead of bit-by-bit
+        byte_i = pos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
         pos += width
         if code == clear:
             table, width, prev = fresh(), min_code_size + 1, None
@@ -876,7 +886,9 @@ def _plane_to_zz(plane: "np.ndarray") -> "np.ndarray":
     quantized zigzag coefficients, shape (nby, nbx, 64)."""
     nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
     blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    coeffs = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
+    # batched BLAS matmul: M @ blk @ M.T per block — same contraction the
+    # einsum spelled, several times faster on many small blocks
+    coeffs = _DCT_M @ blocks @ _DCT_M.T
     return np.rint(
         coeffs.reshape(nby, nbx, 64)[:, :, _ZIGZAG] / _JPEG_Q[None, None, :]
     ).astype(np.int64)
@@ -1121,15 +1133,18 @@ def _flush_eobrun(w: "_JpegBitWriter", ac: dict, st: "_ProgState") -> None:
 
 def _emit_ac_first(w, ac, st, blk, ss, se, al) -> None:
     """AC first scan for one block (G.1.2.2): sign-magnitude shift by Al,
-    zero runs + ZRL, end-of-band folded into the scan-level EOB run."""
+    zero runs + ZRL, end-of-band folded into the scan-level EOB run.
+    (One ``tolist()`` up front — per-element numpy scalar reads were most
+    of progressive-encode time.)"""
+    bs = blk.tolist() if hasattr(blk, "tolist") else list(blk)
     t = [0] * (se + 1)
     last = 0
     for k in range(ss, se + 1):
-        v = abs(int(blk[k])) >> al
+        v = abs(bs[k]) >> al
         t[k] = v
         if v:
             last = k
-    if t[ss:se + 1].count(0) == se - ss + 1:
+    if last == 0:
         st.eobrun += 1
         if st.eobrun == 0x7FFF:
             _flush_eobrun(w, ac, st)
@@ -1147,7 +1162,7 @@ def _emit_ac_first(w, ac, st, blk, ss, se, al) -> None:
         size = t[k].bit_length()
         code, length = ac[(r << 4) | size]
         w.write(code, length)
-        v = t[k] if int(blk[k]) >= 0 else -t[k]
+        v = t[k] if bs[k] >= 0 else -t[k]
         w.write(v if v >= 0 else v + (1 << size) - 1, size)
         r = 0
     if last < se:
@@ -1161,7 +1176,8 @@ def _emit_ac_refine(w, ac, st, blk, ss, se, al) -> None:
     coefficients as (run, 1) symbols over zero-HISTORY positions, with
     correction bits for already-significant coefficients appended after
     each symbol (or after the EOB run they fall into)."""
-    t = [abs(int(blk[k])) >> al for k in range(se + 1)]
+    bs = blk.tolist() if hasattr(blk, "tolist") else list(blk)
+    t = [abs(v) >> al for v in bs[: se + 1]]
     eob = 0
     for k in range(ss, se + 1):
         if t[k] == 1:  # newly significant (history would make it >= 2)
@@ -1186,7 +1202,7 @@ def _emit_ac_refine(w, ac, st, blk, ss, se, al) -> None:
         _flush_eobrun(w, ac, st)
         code, length = ac[(r << 4) | 1]
         w.write(code, length)
-        w.write(1 if int(blk[k]) >= 0 else 0, 1)
+        w.write(1 if bs[k] >= 0 else 0, 1)
         for bit in br:
             w.write(bit, 1)
         br = []
@@ -1501,14 +1517,19 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
             h, w, comps, progressive = frame
             hmax, vmax, mcux, mcuy = dims
             bitpos = 0
-            nbits = len(data) * 8
+            # unpack the whole entropy segment to a bit list once (MSB-first,
+            # same order as the shift/mask read) — per-bit shifts dominated
+            # decoder time
+            bits = np.unpackbits(
+                np.frombuffer(bytes(data), dtype=np.uint8)
+            ).tolist()
+            nbits = len(bits)
 
             def read_bit() -> int:
                 nonlocal bitpos
                 if bitpos >= nbits:
                     raise EOFError
-                byte = data[bitpos >> 3]
-                bit = (byte >> (7 - (bitpos & 7))) & 1
+                bit = bits[bitpos]
                 bitpos += 1
                 return bit
 
@@ -1626,7 +1647,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                     eobrun -= 1
 
             def decode_block(ci, dct, act, by, bx):
-                blk = coeffs[ci][by, bx]
+                # mutate a plain list and write back once: numpy scalar
+                # reads/writes per coefficient were the decoder's hot spot
+                arr = coeffs[ci][by, bx]
+                blk = arr.tolist()
                 if not progressive:
                     seq_block(ci, dct, act, blk)
                 elif ss == 0 and ah == 0:
@@ -1637,6 +1661,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                     ac_first(act, blk)
                 else:
                     ac_refine(act, blk)
+                arr[:] = blk
 
             def restart():
                 nonlocal bitpos, eobrun
@@ -1820,7 +1845,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
             c2d = np.zeros(zz.shape[:2] + (64,), dtype=np.float64)
             c2d[:, :, _ZIGZAG] = deq
             c2d = c2d.reshape(zz.shape[0], zz.shape[1], 8, 8)
-            blocks = np.einsum("ji,abjk,kl->abil", m, c2d, m)
+            blocks = m.T @ c2d @ m  # batched IDCT, same contraction as before
             p = blocks.transpose(0, 2, 1, 3).reshape(
                 zz.shape[0] * 8, zz.shape[1] * 8
             )
@@ -1909,30 +1934,42 @@ def decode_png(payload: bytes) -> "np.ndarray | None":
 
 
 def _png_unfilter(line, prev, ftype: int, bpp: int):
-    """Invert a PNG scanline filter. Sub/Average/Paeth are sequential in the
-    left neighbor, so those loop per byte (bounded by the row width)."""
-    line = line.astype(np.int16)
+    """Invert a PNG scanline filter. None/Up are vectorized; Sub is a
+    per-channel modular prefix sum; Average/Paeth are sequential in the
+    left neighbor, so those loop per byte — over plain Python ints (numpy
+    scalar indexing was ~6x slower in this loop)."""
     if ftype == 0:
         return line.astype(np.uint8)
     if ftype == 2:
-        return ((line + prev) % 256).astype(np.uint8)
-    out = np.zeros(len(line), dtype=np.int16)
-    for i in range(len(line)):
-        left = out[i - bpp] if i >= bpp else 0
-        up = prev[i]
-        upleft = prev[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            out[i] = (line[i] + left) % 256
-        elif ftype == 3:
-            out[i] = (line[i] + (left + up) // 2) % 256
-        elif ftype == 4:
+        return ((line.astype(np.int16) + prev) % 256).astype(np.uint8)
+    if ftype == 1:
+        # out[i] = (line[i] + out[i-bpp]) % 256 — a running sum per channel
+        # stride; uint8 accumulate wraps mod 256 exactly like the loop did
+        out = np.empty(len(line), dtype=np.uint8)
+        u8 = line.astype(np.uint8)
+        for c in range(bpp):
+            out[c::bpp] = np.add.accumulate(u8[c::bpp], dtype=np.uint8)
+        return out
+    ln = line.astype(np.int16).tolist()
+    pv = prev.tolist()
+    n = len(ln)
+    out = [0] * n
+    if ftype == 3:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (ln[i] + ((left + pv[i]) >> 1)) & 0xFF
+    elif ftype == 4:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            up = pv[i]
+            upleft = pv[i - bpp] if i >= bpp else 0
             p = left + up - upleft
             pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
             pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
-            out[i] = (line[i] + pred) % 256
-        else:
-            raise ValueError(f"bad filter {ftype}")
-    return out.astype(np.uint8)
+            out[i] = (ln[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"bad filter {ftype}")
+    return np.array(out, dtype=np.uint8)
 
 
 def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":

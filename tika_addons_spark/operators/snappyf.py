@@ -217,13 +217,19 @@ def compress_raw(src: bytes) -> bytes:
     table: dict[int, int] = {}
     anchor = 0
     i = 0
+    misses = 0
     while i + 4 <= n:
         k = keys[i]
         cand = table.get(k)
         table[k] = i
         if cand is None or i - cand > 0xFFFF:
-            i += 1
+            # skip acceleration (the reference encoder's bail-out): step
+            # grows with consecutive misses; skipped positions are emitted
+            # as literals, so the stream stays spec-valid
+            i += 1 + (misses >> 5)
+            misses += 1
             continue
+        misses = 0
         mlen = 4
         while (
             i + mlen + 8 <= n
