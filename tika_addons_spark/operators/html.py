@@ -187,24 +187,25 @@ def _scan(raw: str):
     for m in _TOKEN_RE.finditer(raw):
         li = m.lastindex
         if li is None:
-            tok = m.group(0)
+            tok = m.group()
             if tok[0] == "<" and len(tok) > 1:
                 continue  # comment / doctype / PI / CDATA
             if skip_depth or boiler_depth:
                 continue
             decoded = _unescape(tok) if "&" in tok else tok
+            s, e = m.span()
             if in_title:
                 title_parts.append(decoded)
                 if title_span is None:
-                    title_span = [m.start(), m.end()]
+                    title_span = [s, e]
                 else:
-                    title_span[1] = m.end()
+                    title_span[1] = e
                 continue
             if in_attach_row:
                 row_parts.append(decoded)
             if cur_start < 0:
-                cur_start = m.start()
-            cur_end = m.end()
+                cur_start = s
+            cur_end = e
             cur_parts.append(decoded)
             w = len(decoded.split())
             cur_words += w

@@ -1137,6 +1137,13 @@ def _emit_ac_first(w, ac, st, blk, ss, se, al) -> None:
     (One ``tolist()`` up front — per-element numpy scalar reads were most
     of progressive-encode time.)"""
     bs = blk.tolist() if hasattr(blk, "tolist") else list(blk)
+    if not any(bs[ss : se + 1]):
+        # all-raw-zero band ⇒ all shifted magnitudes zero ⇒ pure EOB run
+        # (the dominant case for sparse/flat blocks; general path unchanged)
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(w, ac, st)
+        return
     t = [0] * (se + 1)
     last = 0
     for k in range(ss, se + 1):
@@ -1177,6 +1184,13 @@ def _emit_ac_refine(w, ac, st, blk, ss, se, al) -> None:
     correction bits for already-significant coefficients appended after
     each symbol (or after the EOB run they fall into)."""
     bs = blk.tolist() if hasattr(blk, "tolist") else list(blk)
+    if not any(bs[ss : se + 1]):
+        # all-raw-zero band: no newly-significant or correction positions —
+        # the scan loop would only count zeros into an EOB run
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(w, ac, st)
+        return
     t = [abs(v) >> al for v in bs[: se + 1]]
     eob = 0
     for k in range(ss, se + 1):
@@ -1638,12 +1652,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                             blk[k] = val
                         k += 1
                 if eobrun > 0:
-                    while k <= se:
-                        c = int(blk[k])
-                        if c != 0:
-                            if read_bit() and (c & p1) == 0:
-                                blk[k] = c + (p1 if c >= 0 else m1)
-                        k += 1
+                    # correction bits are only consumed at nonzero-history
+                    # positions; an all-zero tail consumes nothing
+                    if any(blk[k : se + 1]):
+                        while k <= se:
+                            c = blk[k]
+                            if c != 0:
+                                if read_bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
                     eobrun -= 1
 
             def decode_block(ci, dct, act, by, bx):
