@@ -114,12 +114,15 @@ def test_malformed_inputs_raise_badlz4():
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=400), st.integers(0, 2**32 - 1))
 def test_fuzzed_bytes_never_crash(blob, seed):
-    """Arbitrary bytes with a forced magic either decode or raise BadLz4
-    — never an unbounded allocation or a foreign exception."""
+    """Arbitrary bytes with a forced magic either decode, raise BadLz4, or
+    raise UnsupportedCoder (a fuzzed FLG can set the dictID bit) — never an
+    unbounded allocation or a foreign exception."""
+    from tika_addons_spark.operators import sevenz
+
     try:
         out, _ = lz4f.decompress(lz4f.MAGIC + blob, 100_000)
         assert len(out) <= 100_000
-    except lz4f.BadLz4:
+    except (lz4f.BadLz4, sevenz.UnsupportedCoder):
         pass
 
 
@@ -210,3 +213,52 @@ def test_binarchive_lz4_bomb_cap():
     rows = ba.unpack_one("bomb.lz4", payload, max_member_bytes=10_000)
     assert [r["status"] for r in rows] == ["too-large"]
     assert rows[0]["member_bytes"] is None
+
+
+# ---- round-6 ADVICE items: dictionary frames, cross-frame match floor -----
+
+
+def test_dictionary_frame_is_unsupported_not_garbage():
+    """FLG bit 0 (dictID) means the frame needs an external dictionary we
+    do not have; decoding without it yields garbage or a spurious corrupt.
+    It must surface as the unsupported taxonomy instead."""
+    from tika_addons_spark.operators import sevenz
+
+    flg = (1 << 6) | (1 << 5) | 0x01      # v01, B.Indep, dictID
+    desc = bytes([flg, 4 << 4]) + (1234).to_bytes(4, "little")
+    hc = (lz4f.xxh32(desc) >> 8) & 0xFF
+    frame = lz4f.MAGIC + desc + bytes([hc]) + b"\x00\x00\x00\x00"
+    with pytest.raises(sevenz.UnsupportedCoder):
+        lz4f.decompress(frame, 10_000)
+    # binarchive maps it to one unsupported row, never corrupt
+    from tika_addons_spark.operators import binarchive as ba
+    rows = ba.unpack_one("d", frame, max_depth=2)
+    assert [r["status"] for r in rows] == ["unsupported"]
+
+
+def test_concatenated_frame_matches_cannot_reach_previous_frame():
+    """A match offset in frame 2 that reaches back into frame 1's output is
+    spec-invalid (frames are independent); it used to decode leniently to
+    garbage when no content checksum was present."""
+    a = lz4f.compress(b"A" * 100)          # frame 1: 100 bytes of output
+    flg = (1 << 6) | (1 << 5)              # v01, B.Indep, no checksums/size
+    desc = bytes([flg, 4 << 4])
+    hc = (lz4f.xxh32(desc) >> 8) & 0xFF
+    # one block: 4 literals then a match at offset 20 (reaches into frame 1)
+    blk = bytes([0x40]) + b"WXYZ" + (20).to_bytes(2, "little")
+    frame2 = (
+        lz4f.MAGIC + desc + bytes([hc])
+        + len(blk).to_bytes(4, "little") + blk
+        + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(lz4f.BadLz4):
+        lz4f.decompress(a + frame2, 10_000)
+    # the same offset WITHIN one frame's history stays legal
+    blk_ok = bytes([0x40]) + b"WXYZ" + (4).to_bytes(2, "little")
+    frame_ok = (
+        lz4f.MAGIC + desc + bytes([hc])
+        + len(blk_ok).to_bytes(4, "little") + blk_ok
+        + b"\x00\x00\x00\x00"
+    )
+    out, over = lz4f.decompress(a + frame_ok, 10_000)
+    assert not over and out == b"A" * 100 + b"WXYZ" + b"WXYZ"

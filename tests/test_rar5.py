@@ -179,3 +179,101 @@ def test_binarchive_rar4_stays_detect_only():
     rows = ba.unpack_one("old.rar", rar4, max_depth=2)
     assert len(rows) == 1 and rows[0]["status"] == "unsupported"
     assert rows[0]["detected_type"] == ba.MIME_RAR
+
+
+# ---- round-6 ADVICE items: lenient service records, name/extra bound ------
+
+
+def _emit_block(out: bytearray, htype: int, hflags: int, body: bytes,
+                payload: bytes = b"") -> None:
+    hdr = rar5._vint(htype) + rar5._vint(hflags)
+    if hflags & 0x02:
+        hdr += rar5._vint(len(payload))
+    hdr += body
+    sized = rar5._vint(len(hdr)) + hdr
+    out.extend(zlib.crc32(sized).to_bytes(4, "little"))
+    out.extend(sized)
+    out.extend(payload)
+
+
+def test_service_record_with_size_mismatch_is_skipped_not_corrupt():
+    """Real WinRAR emits service records (recovery/quick-open) whose
+    stored-size rules differ from file entries; a strict _parse_file used
+    to mark the WHOLE archive corrupt. They must be skipped leniently."""
+    out = bytearray(rar5.MAGIC5)
+    _emit_block(out, rar5._T_MAIN, 0, rar5._vint(0))
+    # service record: method 0 but declared unp_size != data_size
+    svc_payload = b"svc"
+    svc_body = (
+        rar5._vint(0)              # file flags: nothing optional
+        + rar5._vint(5)            # unpacked size 5 != data size 3
+        + rar5._vint(0x20)         # attributes
+        + rar5._vint(0)            # compression info: store
+        + rar5._vint(1)            # host OS
+        + rar5._vint(3) + b"RR\x00"[:3]
+    )
+    _emit_block(out, rar5._T_SERVICE, 0x02, svc_body, svc_payload)
+    # then a perfectly normal file member
+    fdata = b"real member"
+    fbody = (
+        rar5._vint(0x04)           # FFL_CRC32
+        + rar5._vint(len(fdata))
+        + rar5._vint(0x20)
+        + zlib.crc32(fdata).to_bytes(4, "little")
+        + rar5._vint(0)
+        + rar5._vint(1)
+        + rar5._vint(5) + b"f.txt"
+    )
+    _emit_block(out, rar5._T_FILE, 0x02, fbody, fdata)
+    _emit_block(out, rar5._T_END, 0, rar5._vint(0))
+
+    got = rar5.list_members(bytes(out))
+    assert [ (m.name, m.payload, m.status) for m in got ] == [
+        ("f.txt", fdata, "ok")
+    ]
+
+
+def test_service_record_with_bad_name_encoding_is_skipped():
+    out = bytearray(rar5.MAGIC5)
+    _emit_block(out, rar5._T_MAIN, 0, rar5._vint(0))
+    svc_body = (
+        rar5._vint(0)
+        + rar5._vint(0)
+        + rar5._vint(0x20)
+        + rar5._vint(0)
+        + rar5._vint(1)
+        + rar5._vint(2) + b"\xff\xfe"   # invalid utf-8 name
+    )
+    _emit_block(out, rar5._T_SERVICE, 0, svc_body)
+    _emit_block(out, rar5._T_END, 0, rar5._vint(0))
+    assert rar5.list_members(bytes(out)) == []
+
+
+def test_file_name_may_not_overlap_extra_area():
+    """A CRC-valid crafted header whose name length reaches into the extra
+    area must be rejected (the extra bytes are re-parsed for encryption
+    records and may not double as name bytes)."""
+    out = bytearray(rar5.MAGIC5)
+    _emit_block(out, rar5._T_MAIN, 0, rar5._vint(0))
+    extra = b"\x05\x01AAAA"  # one extra record: size 5, type 1 + 4 bytes
+    body_after_extra_size = (
+        rar5._vint(0)              # file flags
+        + rar5._vint(0)            # unpacked size
+        + rar5._vint(0x20)         # attributes
+        + rar5._vint(0)            # compression info: store
+        + rar5._vint(1)            # host OS
+        + rar5._vint(4 + len(extra)) + b"name"  # nlen overlaps the extra area
+        + extra
+    )
+    hdr = (
+        rar5._vint(rar5._T_FILE)
+        + rar5._vint(0x01)               # _HFL_EXTRA
+        + rar5._vint(len(extra))         # extra area size
+        + body_after_extra_size
+    )
+    sized = rar5._vint(len(hdr)) + hdr
+    out.extend(zlib.crc32(sized).to_bytes(4, "little"))
+    out.extend(sized)
+    _emit_block(out, rar5._T_END, 0, rar5._vint(0))
+    with pytest.raises(rar5.BadRar):
+        rar5.list_members(bytes(out))

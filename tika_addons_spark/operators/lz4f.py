@@ -108,12 +108,20 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 
 
 def decompress_block(
-    src: bytes, dst: bytearray, limit: int, start: int = 0, end: int | None = None
+    src: bytes,
+    dst: bytearray,
+    limit: int,
+    start: int = 0,
+    end: int | None = None,
+    floor: int = 0,
 ) -> bool:
     """Decode one raw LZ4 block from ``src[start:end]`` appending onto
     ``dst`` (which may already hold earlier-block history for linked
-    frames). Returns True if ``limit`` total output bytes was exceeded
-    (output is truncated at the limit); raises :class:`BadLz4` on
+    frames). ``floor`` is the first ``dst`` position a match may legally
+    reach back to (the enclosing frame's start in ``dst`` — matches that
+    reach into a PREVIOUS frame's output are spec-invalid and rejected,
+    round-5 ADVICE item). Returns True if ``limit`` total output bytes was
+    exceeded (output is truncated at the limit); raises :class:`BadLz4` on
     malformed sequences."""
     i = start
     e = len(src) if end is None else end
@@ -143,7 +151,7 @@ def decompress_block(
             raise BadLz4("truncated match offset")
         offset = src[i] | (src[i + 1] << 8)
         i += 2
-        if offset == 0 or offset > len(dst):
+        if offset == 0 or offset > len(dst) - floor:
             raise BadLz4("invalid match offset")
         mlen = (token & 0x0F) + 4
         if (token & 0x0F) == 15:
@@ -335,6 +343,15 @@ def _decompress_one(data: bytes, i: int, out: bytearray, limit: int) -> tuple[in
     has_csize = bool(flg & 0x08)
     cnt_cksum = bool(flg & 0x04)
     has_dict = bool(flg & 0x01)
+    if has_dict:
+        # a dictionary frame cannot be decoded without its dictionary:
+        # attempting it either trips the offset check (corrupt-looking) or
+        # silently yields wrong bytes when no content checksum is present —
+        # surface it as the 'unsupported' taxonomy instead, like a 7z
+        # BCJ/AES coder chain or RAR compression (round-5 ADVICE item)
+        from . import sevenz
+
+        raise sevenz.UnsupportedCoder("lz4-dictionary")
     bd_bits = (bd >> 4) & 0x07
     if bd_bits not in _BD_SIZES or (bd & 0x8F):
         raise BadLz4("bad BD byte")
@@ -380,8 +397,12 @@ def _decompress_one(data: bytes, i: int, out: bytearray, limit: int) -> tuple[in
                 over = True
         else:
             # linked frames need history in dst; independent blocks get it
-            # too (harmless: offsets can't legally reach past block start)
-            over = decompress_block(data, out, limit, i, i + bsz)
+            # too (harmless: offsets can't legally reach past block start).
+            # floor=frame_start: matches may never reach into a PREVIOUS
+            # concatenated frame's output.
+            over = decompress_block(
+                data, out, limit, i, i + bsz, floor=frame_start
+            )
         i += bsz + (4 if blk_cksum else 0)
         if over and budget_hit:
             # declared size already proved overflow; no need to finish

@@ -139,11 +139,23 @@ def list_members(data: bytes, max_member_bytes: int = 1 << 26) -> list[Member]:
             # whole-archive encryption: nothing after this is readable
             out.append(Member("", 0, None, "unsupported", -1))
             return out
-        if htype in (_T_FILE, _T_SERVICE):
+        if htype == _T_FILE:
             m = _parse_file(h, hflags, extra_size, data, data_start,
                             data_size, max_member_bytes)
-            if htype == _T_FILE and m is not None:
+            if m is not None:
                 out.append(m)
+        elif htype == _T_SERVICE:
+            # service records (recovery, quick-open, comments) are never
+            # emitted as members, and real WinRAR writes some whose
+            # stored-size/CRC rules differ from file entries — parse them
+            # leniently: a content-rule violation skips the record instead
+            # of condemning the archive (header CRC already vouched for
+            # the bytes; round-5 ADVICE item)
+            try:
+                _parse_file(h, hflags, extra_size, data, data_start,
+                            data_size, max_member_bytes)
+            except BadRar:
+                pass
         elif htype == _T_END:
             seen_end = True
         # _T_MAIN and unknown-but-CRC-valid types: metadata only, skip
@@ -165,7 +177,11 @@ def _parse_file(h: _Reader, hflags: int, extra_size: int, data: bytes,
     method = (comp >> 7) & 0x07
     h.vint()  # host OS
     nlen = h.vint()
-    if nlen > h.end - h.i:
+    # the name field lives BEFORE the extra area: bound it by the header
+    # minus extra_size so a CRC-valid crafted header can't make the name
+    # overlap the extra-area bytes _has_encryption_record re-parses
+    # (round-5 ADVICE item)
+    if nlen > h.end - extra_size - h.i:
         raise BadRar("name length past header")
     try:
         name = h.take(nlen).decode("utf-8")
