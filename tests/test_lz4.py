@@ -262,3 +262,26 @@ def test_concatenated_frame_matches_cannot_reach_previous_frame():
     )
     out, over = lz4f.decompress(a + frame_ok, 10_000)
     assert not over and out == b"A" * 100 + b"WXYZ" + b"WXYZ"
+
+
+def test_every_bitflip_bounded_or_caught():
+    """400 single-bit flips of a VALID frame (the rar5-style gate): the
+    frame's header/content checksums catch most flips as BadLz4; any flip
+    that still decodes must stay within the output bound. Flips that set
+    the dictID FLG bit legally surface as UnsupportedCoder."""
+    import random
+
+    from tika_addons_spark.operators import sevenz
+
+    data = (b"the quick brown fox jumps over the lazy dog " * 300)[:12_000]
+    blob = lz4f.compress(data)
+    cap = len(data) * 4
+    for t in range(400):
+        rng = random.Random(t)
+        b = bytearray(blob)
+        b[rng.randrange(0, len(b))] ^= 1 << rng.randrange(8)
+        try:
+            out, over = lz4f.decompress(bytes(b), cap)
+        except (lz4f.BadLz4, sevenz.UnsupportedCoder):
+            continue
+        assert len(out) <= cap + 1

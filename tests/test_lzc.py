@@ -90,3 +90,24 @@ def test_unpack_one_z_wrapper_and_bomb():
     # corrupt stream -> corrupt taxonomy
     rows = ba.unpack_one("c", b"\x1f\x9d\xff\x01\x02", max_depth=2)
     assert rows[0]["status"].startswith("corrupt:")
+
+
+def test_every_bitflip_bounded_or_caught():
+    """400 single-bit flips of a VALID .Z stream (the rar5-style gate):
+    .Z has no integrity field, so a flip may silently decode to different
+    bytes — the guarantee is totality and bounded output: only BadLzc is
+    ever raised and output never exceeds the limit + 1 slack byte."""
+    import random
+
+    data = (b"the quick brown fox jumps over the lazy dog " * 300)[:12_000]
+    blob = lzc.compress(data)
+    cap = len(data) * 4
+    for t in range(400):
+        rng = random.Random(t)
+        b = bytearray(blob)
+        b[rng.randrange(0, len(b))] ^= 1 << rng.randrange(8)
+        try:
+            out, over = lzc.decompress(bytes(b), cap)
+        except lzc.BadLzc:
+            continue
+        assert len(out) <= cap + 1

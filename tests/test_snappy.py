@@ -155,3 +155,24 @@ def test_binarchive_snappy_bomb_cap():
     rows = ba.unpack_one("bomb.sz", payload, max_member_bytes=10_000)
     assert [r["status"] for r in rows] == ["too-large"]
     assert rows[0]["member_bytes"] is None
+
+
+def test_every_bitflip_bounded_or_caught():
+    """400 single-bit flips of a VALID framed stream (the rar5-style
+    gate): per-chunk masked CRC32C catches payload flips as BadSnappy;
+    any flip that still decodes (e.g. in a skippable-chunk region) must
+    stay within the output bound."""
+    import random
+
+    data = (b"the quick brown fox jumps over the lazy dog " * 300)[:12_000]
+    blob = sf.compress(data)
+    cap = len(data) * 4
+    for t in range(400):
+        rng = random.Random(t)
+        b = bytearray(blob)
+        b[rng.randrange(0, len(b))] ^= 1 << rng.randrange(8)
+        try:
+            out, over = sf.decompress(bytes(b), cap)
+        except sf.BadSnappy:
+            continue
+        assert len(out) <= cap + 1
