@@ -46,8 +46,17 @@ JAVA_NON_ALPHA_RUN = r"[^\p{L}]+"
 
 # --- pure-Python canonical implementations ---------------------------------
 def collapse_newlines(text: str) -> str:
-    """F1 — exact TikaEvalDocMapper semantics: \\n+ → \\n, then trim."""
-    return RE_NEWLINES.sub("\n", text).strip()
+    """F1 — exact TikaEvalDocMapper semantics: \\n+ → \\n, then trim.
+
+    Gate (round-6): ``\\n+`` only changes the string where a run of length
+    >= 2 exists, i.e. where ``"\\n\\n"`` occurs — a single ``\\n`` replaced
+    by ``\\n`` is the identity. The substring probe is C memchr speed
+    (~0.6 µs) vs ~5 µs for the regex scan on a typical extracted body,
+    and html/archive bodies (joined with single newlines) never contain
+    a double newline, so the hot path skips the sub entirely."""
+    if "\n\n" in text:
+        return RE_NEWLINES.sub("\n", text).strip()
+    return text.strip()
 
 
 def normalize_ws(text: str) -> str:

@@ -48,9 +48,6 @@ BLOCK_TAGS = frozenset(
         "figcaption", "caption",
     }
 )
-# void elements never get end tags
-VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input", "area", "base"})
-
 META_FIELDS = frozenset({"author", "creator", "producer", "creationdate"})
 
 MIN_WORDS = 8
@@ -95,17 +92,32 @@ class HtmlResult:
         self.warnings = warnings
 
 
-# one-regex HTML tokenizer: comments/CDATA/doctype/PI | end tag | start tag
-# (attrs may contain quoted '>') | text run
-_TOKEN_RE = re.compile(
+# Markup-only tokenizer: comments/CDATA/doctype/PI | end tag | start tag
+# (attrs may contain quoted '>'). Text is NOT an alternative — it is the
+# gap between consecutive matches, which cuts the Python-level loop
+# iterations by the text-token share (~40% on a markup-heavy corpus;
+# round-6 measurement: 111 → 98 µs/doc on the fixture corpus). The gap
+# split preserves the original per-token semantics exactly: an unmatched
+# '<' inside a gap is emitted as its own 1-char text token, and [^<]+
+# runs as their own tokens, so per-token word counts (which feed the
+# block scorer) are unchanged — proven by a 30k-input adversarial
+# equivalence battery against the previous one-regex finditer tokenizer
+# (tests/test_html_scan.py keeps that battery live against a reference
+# tokenizer).
+#
+# NB the start-tag selfclose group (/?) NEVER captures: the greedy attrs
+# group (?:"..."|'...'|[^>"'])* always consumes a trailing '/', and
+# backtracking cannot hand it back (after attrs gives up '/', the '>'
+# that failed still fails). '<br/>' therefore parses as a plain start
+# tag with raw_attrs ending in '/'; the old selfclose-replay branches
+# were dead code and have been removed (behavior identical).
+_TAG_RE = re.compile(
     r"<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
     r"|</([a-zA-Z][a-zA-Z0-9:-]*)\s*[^>]*>"
-    r"|<([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"
-    r"|[^<]+"
-    r"|<",
+    r"|<([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
     re.DOTALL,
 )
 _ATTR_RE = re.compile(
@@ -153,13 +165,16 @@ def _scan(raw: str):
     tokenization (profiled: ~4M handler calls per 55k documents).
     Whitespace collapsing uses ``" ".join(s.split())``, verified
     codepoint-for-codepoint identical to the previous ``re \\s+`` sub over
-    the full Unicode range, and ~3× faster.
+    the full Unicode range, and ~3x faster.
+
+    Round-6: the tokenizer iterates markup matches only (``_TAG_RE``) and
+    takes text as the gaps between them — identical token sequence to the
+    old one-regex finditer (see the _TAG_RE comment), ~12% less loop time.
 
     Returns ``(blocks, title_parts, title_span, meta, attach_rows)``.
-    Event semantics are unchanged from the class version: lastindex
-    dispatch (None=text/markup-noise, 1=end tag, 4=start tag), depth
-    tracking for skip/boilerplate subtrees, title/meta lift, the bugzilla
-    attachment-row heuristic (X2), and flush-at-block-tag boundaries."""
+    Event semantics are unchanged: depth tracking for skip/boilerplate
+    subtrees, title/meta lift, the bugzilla attachment-row heuristic (X2),
+    and flush-at-block-tag boundaries."""
     blocks: list[Block] = []
     cur_parts: list[str] = []
     cur_start = -1
@@ -181,19 +196,27 @@ def _scan(raw: str):
     row_parts: list[str] = []
 
     _unescape = unescape
-    skip_tags, boiler_tags, block_tags = SKIP_TAGS, BOILERPLATE_TAGS, BLOCK_TAGS
+    block_tags = BLOCK_TAGS
     start_act, end_act = _START_ACT, _END_ACT
+    n = len(raw)
+    last = 0
 
-    for m in _TOKEN_RE.finditer(raw):
-        li = m.lastindex
-        if li is None:
-            tok = m.group()
-            if tok[0] == "<" and len(tok) > 1:
-                continue  # comment / doctype / PI / CDATA
+    for m in _TAG_RE.finditer(raw):
+        ms = m.start()
+        while last < ms:  # text gap (loops only when a gap contains '<')
+            if raw[last] == "<":
+                s, e = last, last + 1
+                tok = "<"
+            else:
+                e = raw.find("<", last, ms)
+                if e < 0:
+                    e = ms
+                s = last
+                tok = raw[s:e]
+            last = e
             if skip_depth or boiler_depth:
                 continue
             decoded = _unescape(tok) if "&" in tok else tok
-            s, e = m.span()
             if in_title:
                 title_parts.append(decoded)
                 if title_span is None:
@@ -211,10 +234,16 @@ def _scan(raw: str):
             cur_words += w
             if anchor_depth:
                 cur_linkwords += w
-            continue
+        last = m.end()
+
+        li = m.lastindex
+        if li is None:
+            continue  # comment / CDATA / doctype / PI
 
         if li == 1:  # end tag
-            tag = m.group(1).lower()
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
             act = end_act.get(tag)
             if act is not None:
                 if act == 3:  # </a> — not a block tag, done
@@ -257,29 +286,25 @@ def _scan(raw: str):
                 cur_attach = False
             continue
 
-        # start tag
-        tag, raw_attrs, selfclose = m.group(2, 3, 4)
-        tag = tag.lower()
+        # start tag (the selfclose group never captures — see _TAG_RE)
+        tag = m.group(2)
+        if not tag.islower():
+            tag = tag.lower()
         act = start_act.get(tag)
         if act is not None:
-            if act == 3:  # <a> — not block, not void; inline selfclose replay
+            if act == 3:  # <a> — not block
                 anchor_depth += 1
-                if selfclose and anchor_depth:
-                    anchor_depth -= 1
                 continue
             if act == 1:
                 skip_depth += 1
-                if selfclose and skip_depth:
-                    skip_depth -= 1
                 continue
             if act == 2:
                 boiler_depth += 1
-                if selfclose and boiler_depth:
-                    boiler_depth -= 1
                 continue
             if act == 4:
                 in_title = True
-            elif act == 5:  # <meta> — void, not block: no replay, done
+            elif act == 5:  # <meta> — void, not block: done
+                raw_attrs = m.group(3)
                 if raw_attrs:
                     a = dict(_parse_attrs(raw_attrs))
                     name = (a.get("name") or "").lower()
@@ -290,6 +315,7 @@ def _scan(raw: str):
                 # Fast path: the class regex can only match if the marker
                 # substring is present (entities could synthesize it, so any
                 # '&' also takes the slow parse).
+                raw_attrs = m.group(3)
                 if raw_attrs and (
                     "bz_contenttype_" in raw_attrs or "&" in raw_attrs
                 ):
@@ -314,43 +340,38 @@ def _scan(raw: str):
                 cur_linkwords = 0
             cur_heading = tag in _HEADING_TAGS
             cur_attach = in_attach_row
-        if selfclose and tag not in VOID_TAGS:
-            # replay the end-tag semantics for <tag/>
-            if tag in skip_tags:
-                if skip_depth:
-                    skip_depth -= 1
-                continue
-            if tag in boiler_tags:
-                if boiler_depth:
-                    boiler_depth -= 1
-            elif tag == "a":
-                if anchor_depth:
-                    anchor_depth -= 1
-            elif tag == "title":
-                in_title = False
-            elif in_attach_row and (tag == "td" or tag == "th"):
-                row_parts.append(" ")
-            if in_attach_row and tag == "tr":
-                row_text = " ".join("".join(row_parts).split())
-                if row_ct and row_text:
-                    attach_rows.append(f"{row_text} [{row_ct}]")
-                in_attach_row = False
-                row_ct = None
-                row_parts = []
-            if tag in block_tags:
-                if cur_parts:
-                    txt = " ".join("".join(cur_parts).split())
-                    if txt:
-                        blocks.append(Block(
-                            txt, cur_start, cur_end, cur_words,
-                            cur_linkwords, cur_heading, cur_attach,
-                        ))
-                    cur_parts = []
-                    cur_start = -1
-                    cur_words = 0
-                    cur_linkwords = 0
-                cur_heading = False
-                cur_attach = False
+
+    while last < n:  # trailing text after the final tag
+        if raw[last] == "<":
+            s, e = last, last + 1
+            tok = "<"
+        else:
+            e = raw.find("<", last)
+            if e < 0:
+                e = n
+            s = last
+            tok = raw[s:e]
+        last = e
+        if skip_depth or boiler_depth:
+            continue
+        decoded = _unescape(tok) if "&" in tok else tok
+        if in_title:
+            title_parts.append(decoded)
+            if title_span is None:
+                title_span = [s, e]
+            else:
+                title_span[1] = e
+            continue
+        if in_attach_row:
+            row_parts.append(decoded)
+        if cur_start < 0:
+            cur_start = s
+        cur_end = e
+        cur_parts.append(decoded)
+        w = len(decoded.split())
+        cur_words += w
+        if anchor_depth:
+            cur_linkwords += w
 
     # final flush
     if cur_parts:
