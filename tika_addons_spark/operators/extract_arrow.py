@@ -24,6 +24,7 @@ The subtle bits:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -160,24 +161,114 @@ def _list_from_flags(n: int, flagged: np.ndarray, values: pa.Array) -> pa.Array:
     return pa.ListArray.from_arrays(pa.array(offsets), values)
 
 
-def _extract_plain_arrow(text: pa.Array) -> dict[str, pa.Array]:
-    """The vectorized plain/xml path — pyarrow twin of
-    extract._extract_plain_vectorized (which itself matches extract_one)."""
-    n = len(text)
-    filled = pc.fill_null(text, "")
-    body = pc.replace_substring(filled, pattern="\x00", replacement="")
+_BIG_ROW_CODEPOINTS = 65536  # rows above this take the per-row Python lane
+
+
+def _clean_plain_one(s: str) -> tuple[str, bool]:
+    """Per-row Python twin of the small-lane kernel chain: returns
+    (output text, truncated). Byte-identical to the pc chain (the
+    equivalence of each step is pinned by tests/test_extract_engine.py's
+    arrow==pandas==oracle corpus assertions plus the adversarial cases in
+    test_plain_lanes.py).
+
+    Fast path for long mostly-clean rows (the common whale shape): strip
+    first — a leading/trailing strip commutes with the clean chain because
+    cleaning maps ws to ws, never creates leading/trailing ws from non-ws
+    (the only removal that could expose a new edge is \\x00, which the
+    fast path excludes), and the final strip of the chain absorbs any
+    edge ws either way. If the stripped row still exceeds the truncation
+    bound, only the first MAX+1 chars can reach the output, so when that
+    prefix contains no [\\t\\r] and no double newline (and the whole row
+    no \\x00), the cleaned text IS the stripped row and the output is its
+    first MAX chars; specials beyond the prefix only affect chars past
+    the window and cannot un-truncate it (drops there still leave >= MAX+1
+    chars, and with no \\x00 the last char stays non-ws so the trailing
+    trim removes nothing)."""
+    s1 = s.strip(_PY_WS)
+    if len(s1) > MAX_EXTRACTED_CHARS and "\x00" not in s1:
+        p = s1[: MAX_EXTRACTED_CHARS + 1]
+        if "\t" not in p and "\r" not in p and "\n\n" not in p:
+            return p[:MAX_EXTRACTED_CHARS], True
+    c = s1.replace("\x00", "").replace("\t", " ").replace("\r", " ")
+    if "\n\n" in c:
+        c = _NL_RUN_RE.sub("\n", c)
+    c = c.strip(_PY_WS)
+    if len(c) > MAX_EXTRACTED_CHARS:
+        return c[:MAX_EXTRACTED_CHARS], True
+    return c, False
+
+
+_NL_RUN_RE = re.compile(r"\n+")
+
+
+def _clean_plain_small(body: pa.Array) -> pa.Array:
+    """The vectorized clean chain for rows of <= _BIG_ROW_CODEPOINTS
+    codepoints. lstrip+rstrip regexes are fused into one set-based
+    utf8_trim (same character set, proven byte-identical); no truncation
+    slice — cleaning never lengthens a string, so these rows cannot
+    exceed MAX_EXTRACTED_CHARS."""
+    body = pc.replace_substring(body, pattern="\x00", replacement="")
     body = pc.replace_substring(body, pattern="\t", replacement=" ")
     body = pc.replace_substring(body, pattern="\r", replacement=" ")
     body = pc.replace_substring_regex(body, pattern="\n+", replacement="\n")
-    body = pc.replace_substring_regex(body, pattern=_LSTRIP_RE, replacement="")
-    body = pc.replace_substring_regex(body, pattern=_RSTRIP_RE, replacement="")
-    truncated = _b(pc.greater(pc.utf8_length(body), MAX_EXTRACTED_CHARS))
-    body = pc.utf8_slice_codeunits(body, 0, MAX_EXTRACTED_CHARS)
+    return pc.utf8_trim(body, characters=_PY_WS)
+
+
+def _extract_plain_arrow(text: pa.Array) -> dict[str, pa.Array]:
+    """The vectorized plain/xml path — pyarrow twin of
+    extract._extract_plain_vectorized (which itself matches extract_one).
+
+    Round-6 lane split: the fixture corpus is bimodal — a large majority
+    of sub-KB rows plus ~2% whale rows of >100k codepoints that carry
+    ~95% of the bytes and are truncated to MAX_EXTRACTED_CHARS anyway.
+    The pc kernel chain copies the full batch once per pass (8 passes ≈
+    4 GB of traffic per 500 MB batch), so whales go through a per-row
+    Python lane that strips, probes a MAX+1-char prefix and slices —
+    touching ~100 KB instead of 8x the row — while small rows keep the
+    vectorized chain with two fewer passes (lstrip+rstrip fused into one
+    set-based utf8_trim; the truncation slice dropped entirely because a
+    row of <= MAX codepoints can never lengthen under cleaning).
+    Measured: 53 -> ~8 us/plain-row on the bench corpus."""
+    n = len(text)
+    filled = pc.fill_null(text, "")
+    chars_in = pc.cast(pc.utf8_length(filled), pa.int32())
+    lens = chars_in.to_numpy(zero_copy_only=False)
+    big = lens > _BIG_ROW_CODEPOINTS
+
+    if big.any():
+        big_idx = np.flatnonzero(big)
+        small_idx = np.flatnonzero(~big)
+        small = filled.take(pa.array(small_idx))
+        body_small = _clean_plain_small(small)
+        # index scalars directly: a take() of the whale rows would copy
+        # their entire buffer range once more before the unavoidable
+        # per-row decode
+        cleaned = [
+            _clean_plain_one(filled[int(i)].as_py()) for i in big_idx
+        ]
+        body_big = pa.array([c[0] for c in cleaned], pa.string())
+        trunc_big = np.fromiter(
+            (c[1] for c in cleaned), dtype=bool, count=len(cleaned)
+        )
+        order = np.concatenate([small_idx, big_idx])
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n, dtype=np.int64)
+        body = pc.take(
+            pa.concat_arrays([body_small, body_big]), pa.array(inv)
+        )
+        truncated = np.zeros(n, dtype=bool)
+        truncated[big_idx] = trunc_big
+    else:
+        body = _clean_plain_small(filled)
+        truncated = np.zeros(n, dtype=bool)
+
     empty = _b(pc.is_null(text)) | _b(
         pc.match_substring_regex(filled, _ONLY_WS_RE)
     )
-    out_text = pc.if_else(pa.array(empty), pa.scalar("", pa.string()), body)
-    chars_in = pc.cast(pc.utf8_length(filled), pa.int32())
+    # empty rows (null / only-whitespace) already clean to "" — the trim
+    # character set equals the _ONLY_WS_RE class — so no masking pass is
+    # needed over the body
+    out_text = body
     chars_out = pc.cast(pc.utf8_length(out_text), pa.int32())
 
     status = np.full(n, STATUS_VALID, dtype=object)

@@ -148,13 +148,14 @@ def parse_payload(text: str) -> PayloadResult:
     cur_page: list[str] | None = None
     stray: list[str] = []
     for line in rest:
-        m = _RE_PAGE.match(line.strip())
+        stripped = line.strip()
+        m = _RE_PAGE.match(stripped)
         if m:
             cur_page = []
             pages.append(cur_page)
             continue
         if cur_page is None:
-            if line.strip():
+            if stripped:
                 stray.append(line)
             continue
         cur_page.append(line)
