@@ -291,10 +291,16 @@ def q20_jaccard_pairs(spark, sf_dir):
 def q21_token_entropy(spark, sf_dir):
     # explode → per-(doc,token) counts → window total (reuses the doc_id
     # partitioning; one fewer shuffle than a join against a totals subquery).
-    # Round-6 note: per-row shuffle-free rewrites (run-length aggregate HOF,
-    # boundary-index HOF) were measured SLOWER at sf1.0 (3.2s / 4.1s vs
-    # 2.2s) — Spark's higher-order functions are interpreted per element
-    # while this plan stays in whole-stage codegen; kept as-is deliberately.
+    # Round-6 notes — all measured SLOWER at sf1.0, kept as-is deliberately:
+    # (a) per-row shuffle-free rewrites (run-length aggregate HOF,
+    #     boundary-index HOF): 3.2s / 4.1s vs 2.2s — Spark's higher-order
+    #     functions are interpreted per element while this plan stays in
+    #     whole-stage codegen;
+    # (b) replacing the window with n = size(tokens) carried through the
+    #     explode (bit-identical values, window+sort removed): 2.95s vs
+    #     1.82s interleaved — one extra column carried through the
+    #     explode + first aggregation costs ~1s on 2.5M token rows,
+    #     more than the window's tiny (doc,tok,c) exchange+sort saves.
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
     counts = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))

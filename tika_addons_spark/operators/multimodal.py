@@ -587,6 +587,11 @@ def _paeth(a, b, c):
 # GIF interlace row order: 4 passes with (start, step) per the GIF89a spec
 _GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
+# hoisted per-call constants (identical bytes/objects every call):
+# the 256-entry grayscale palette and the 256 single-byte LZW roots
+_GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+_LZW_ROOTS = [bytes([i]) for i in range(256)]
+
 
 def _gif_interlace_rows(height: int) -> list[int]:
     return [y for s, d in _GIF_PASSES for y in range(s, height, d)]
@@ -604,7 +609,7 @@ def make_gif(
     head = b"GIF89a" + struct.pack("<HH", width, height)
     if not with_pixels:
         return head + b"\x00\x00\x00;"
-    palette = bytes(v for i in range(256) for v in (i, i, i))
+    palette = _GIF_GRAY_PALETTE
     out = head + struct.pack("<BBB", 0xF7, 0, 0) + palette  # global table, 256
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
     out += b"\x40" if interlace else b"\x00"
@@ -689,7 +694,7 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     pos, nbits = 0, len(data) * 8
 
     def fresh():
-        return [bytes([i]) for i in range(clear)] + [b"", b""]
+        return _LZW_ROOTS[:clear] + [b"", b""]
 
     table, width, prev = fresh(), min_code_size + 1, None
     while pos + width <= nbits:
@@ -1553,6 +1558,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                     v = (v << 1) | read_bit()
                 return v
 
+            # Round-6 note: an 8-bit peek + per-table LUT for huff (and an
+            # inline read_bits) was measured NO FASTER here — the oracle's
+            # tables are 4-bit DC / 8-bit AC codes, so the peek's 8 list
+            # indexings + LUT probe cost as much as the short bit loop it
+            # replaces, and a vectorized 16-bit lookahead array cost more
+            # to build per scan than it saved (progressive files decode
+            # many small scans). Kept the simple loop deliberately.
             def huff(table: dict) -> int:
                 code, length = 0, 0
                 while length < 16:
