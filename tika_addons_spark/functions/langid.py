@@ -1649,12 +1649,20 @@ def detect_languages_df(
     def batch(it):
         _fast_tables()  # build once per worker before the row loop
         for pdf in it:
-            out = []
-            for t in pdf[text_col]:
+            # dedup-compute-scatter: detection is a pure function of the
+            # text, so score each DISTINCT text once per batch and fan the
+            # results back out. Real corpora carry exact-duplicate rows
+            # (the dedup operators exist because of them) and planted
+            # fixtures are heavily repetitive; for all-unique batches
+            # factorize adds ~1% overhead to a ~300 us/row kernel.
+            codes, uniques = pd.factorize(pdf[text_col], use_na_sentinel=False)
+            per_uniq = []
+            for t in uniques:
                 ranked = detect_languages_fast(t)[:top_k]
-                out.append(
+                per_uniq.append(
                     [{"lang": lang, "conf": round(conf, 6)} for lang, conf in ranked]
                 )
+            out = [per_uniq[c] for c in codes]
             yield pd.DataFrame({"id": pdf[id_col], "langs": out})
 
     schema = T.StructType(
