@@ -662,32 +662,24 @@ def q47_binary_archive_rollup(spark, sf_dir):
         .alias("text"),
     ).withColumn("grp", F.concat_ws("|", "source", "lang"))
 
-    def pack_zip(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        gid = str(pdf["grp"].iloc[0])
-        members = [
-            (str(i), (t if isinstance(t, str) else "").encode("utf-8"))
-            for i, t in zip(pdf["doc_id"], pdf["text"])
-        ]
-        return pd.DataFrame(
-            {
-                "src": [gid.split("|")[0]],
-                "zip_name": [f"in-{gid}"],
-                "payload": [binarchive.make_zip(members)],
-            }
-        )
-
-    inner = dec.groupBy("grp").applyInPandas(
-        pack_zip, "src string, zip_name string, payload binary"
-    )
-
-    def pack_tar_gz(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("zip_name", kind="mergesort")
-        src = str(pdf["src"].iloc[0])
-        members = [
-            (f"{n}.zip", bytes(b)) for n, b in zip(pdf["zip_name"], pdf["payload"])
-        ]
-        tar = binarchive.make_tar(members)
+    def pack_source(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Round-6 stage fusion: the zip-per-(source,lang) and tar-per-source
+        # stages shared no parallelism win (20 source groups << cores) but
+        # cost an extra Exchange + Python stage; building the lang zips
+        # inside the source group produces byte-identical containers — the
+        # per-zip member order is the same mergesort by unique doc_id, and
+        # the tar member order is the same lexicographic zip_name sort.
+        src = str(pdf["source"].iloc[0])
+        zips = []
+        for gid, sub in pdf.groupby("grp", sort=True):
+            sub = sub.sort_values("doc_id", kind="mergesort")
+            members = [
+                (str(i), (t if isinstance(t, str) else "").encode("utf-8"))
+                for i, t in zip(sub["doc_id"], sub["text"])
+            ]
+            zips.append((f"in-{gid}", binarchive.make_zip(members)))
+        zips.sort(key=lambda kv: kv[0])
+        tar = binarchive.make_tar([(f"{n}.zip", b) for n, b in zips])
         # alternate the lossless outer wrapper gzip / Unix .Z / lz4 /
         # RAR5-stored / framed-snappy by source (round 5: drives the
         # from-scratch LZW, LZ4, RAR5 and snappy codecs through this
@@ -713,8 +705,8 @@ def q47_binary_archive_rollup(spark, sf_dir):
             }
         )
 
-    outer = inner.groupBy("src").applyInPandas(
-        pack_tar_gz, "container_id string, payload binary"
+    outer = dec.groupBy("source").applyInPandas(
+        pack_source, "container_id string, payload binary"
     )
     members = binarchive.explode_binary_members(
         outer, ["container_id"], "payload", max_depth=4
