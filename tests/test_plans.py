@@ -147,10 +147,12 @@ def test_lang_grid_stays_jvm_side(spark):
 
 
 def test_binary_archive_rollup_plan(spark):
-    """q47: pack stages are grouped-map python ops, the unpack is ONE
-    mapInPandas, and nothing in the plan is a cartesian product."""
+    """q47: packing is ONE grouped-map python op (round-6 fused the
+    zip-per-(source,lang) and tar-per-source stages — byte-identical
+    containers, one fewer Exchange), the unpack is ONE mapInPandas, and
+    nothing in the plan is a cartesian product."""
     p = plan_of(entry.q47_binary_archive_rollup(spark, SF))
-    assert p.count("FlatMapGroupsInPandas") == 2, p  # zip pack + tar.gz pack
+    assert p.count("FlatMapGroupsInPandas") == 1, p  # fused source pack
     assert p.count("MapInPandas") == 1, p            # the binary explode
     assert "CartesianProduct" not in p, p
 
